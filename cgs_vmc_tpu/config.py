@@ -1,0 +1,188 @@
+"""Canonical configuration schema for the framework.
+
+Typed dataclass replacement for the reference's TF HParams schema
+(reference: cgs_vmc/utils.py:15-150).  Exposes the same parameter surface
+(same names and defaults) plus TPU-framework additions (mesh/sharding, SR,
+seeding).  Persisted as JSON next to checkpoints (the reference wrote
+hparams.pbtxt, cgs_vmc/run_training.py:91-101); `parse_overrides` provides
+the comma-separated ``name=value`` override string the reference accepted
+via ``hparams.parse`` (cgs_vmc/run_training.py:60-64,90).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    """All hyperparameters of a run.
+
+    Field groups mirror the reference schema (cgs_vmc/utils.py:87-148);
+    fields below the "TPU-native additions" marker are new.
+    """
+
+    # Directory parameters.
+    checkpoint_dir: str = ''
+    supervisor_dir: str = ''
+    basis_file_path: str = ''
+
+    # System parameters.
+    wavefunction_type: str = ''
+    composite_wavefunction_types: Tuple[str, str] = ('', '')
+    wavefunction_optimizer_type: str = ''
+    num_sites: int = 40
+    size_x: int = 1
+    size_y: int = 1
+    size_z: int = 1
+
+    # Fully connected parameters.
+    num_fc_layers: int = 3
+    fc_layer_size: int = 80
+
+    # Convolutional parameters.
+    num_conv_layers: int = 5
+    conv_strides: int = 1
+    kernel_size: int = 5
+    num_conv_filters: int = 16
+
+    # ResNet parameters.
+    num_resnet_blocks: int = 2
+
+    # MPS parameters.
+    bond_dimension: int = 4
+
+    # ED state parameters (FullVector ansatz; Lin 1990 index tables).
+    top_lin_table_file: str = ''
+    bot_lin_table_file: str = ''
+    ed_vector_file: str = ''
+
+    # GraphConvNetwork parameters.
+    adjacency_list_path: str = ''
+
+    nonlinearity: str = 'relu'
+    output_activation: str = 'exp'
+    composite_output_activations: Tuple[str, str] = ('', '')
+
+    # Monte Carlo parameters.
+    num_equilibration_sweeps: int = 100
+    num_monte_carlo_sweeps: int = 1
+
+    # Training parameters.
+    num_epochs: int = 500
+    batch_size: int = 200
+    num_batches_per_epoch: int = 50
+    time_evolution_beta: float = 0.12
+    learning_rates: List[float] = dataclasses.field(
+        default_factory=lambda: [1e-3, 1e-4, 2e-5, 1e-5])
+    learning_rate_stops: List[int] = dataclasses.field(
+        default_factory=lambda: [300, 600, 1000])
+    optimizer: str = 'adam'
+    beta2: float = 0.99
+
+    # Evaluation parameters.
+    num_evaluation_samples: int = 100
+
+    # ------------------------------------------------------------------
+    # TPU-native additions (not present in the reference).
+    # ------------------------------------------------------------------
+    seed: int = 42
+    # Hamiltonian (the reference took jx from a CLI flag and jz was fixed
+    # to 1.0, cgs_vmc/run_training.py:27-29,112-113).
+    heisenberg_jx: float = 1.0
+    heisenberg_jz: float = 1.0
+    j_file_path: str = ''        # bonds file (reference: J.txt in ckpt dir)
+    # Stochastic reconfiguration (new optimizer; absent from reference).
+    sr_diag_shift: float = 1e-3
+    sr_cg_tol: float = 1e-6
+    sr_cg_maxiter: int = 100
+    # Mesh: number of devices to shard Markov chains over (1 = single chip).
+    num_devices: int = 1
+    # Checkpointing.
+    checkpoint_frequency: int = 1
+    max_checkpoints_to_keep: int = 5
+
+    # ------------------------------------------------------------------
+
+    def replace(self, **kwargs: Any) -> 'Config':
+        return dataclasses.replace(self, **kwargs)
+
+    def override_from_dict(self, values: dict) -> 'Config':
+        """Returns a new Config with `values` applied (validates names)."""
+        names = {f.name for f in dataclasses.fields(self)}
+        unknown = set(values) - names
+        if unknown:
+            raise ValueError(f'Unknown config fields: {sorted(unknown)}')
+        return dataclasses.replace(self, **values)
+
+    def parse(self, override_string: str) -> 'Config':
+        """Applies a comma-separated ``name=value`` override string."""
+        return self.override_from_dict(parse_overrides(self, override_string))
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, 'w') as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> 'Config':
+        with open(path) as f:
+            values = json.load(f)
+        # Tuples serialize as lists; coerce back per-field.
+        for field in dataclasses.fields(cls):
+            if field.name in values and isinstance(values[field.name], list):
+                if 'Tuple' in str(field.type) or isinstance(
+                        getattr(cls(), field.name), tuple):
+                    values[field.name] = tuple(values[field.name])
+        return cls(**values)
+
+
+def _coerce(current: Any, raw: str) -> Any:
+    """Coerces a raw override string to the type of the current value."""
+    if isinstance(current, bool):
+        if raw.lower() in ('true', '1', 'yes'):
+            return True
+        if raw.lower() in ('false', '0', 'no'):
+            return False
+        raise ValueError(f'Cannot parse boolean from {raw!r}')
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, (list, tuple)):
+        parts = [p for p in raw.strip('[]()').split(';') if p]
+        elem = current[0] if len(current) else ''
+        typ = type(elem)
+        out = [typ(p) if not isinstance(elem, bool) else _coerce(elem, p)
+               for p in parts]
+        return tuple(out) if isinstance(current, tuple) else out
+    return raw
+
+
+def parse_overrides(config: Config, override_string: str) -> dict:
+    """Parses ``a=1,b=2.5,c=text,d=[1;2;3]`` into a typed dict.
+
+    List values use ``;`` separators inside ``[...]`` so that the top level
+    stays comma-separated (the reference used TF's hparams.parse grammar).
+    """
+    out: dict = {}
+    if not override_string:
+        return out
+    for item in override_string.split(','):
+        item = item.strip()
+        if not item:
+            continue
+        if '=' not in item:
+            raise ValueError(f'Malformed override (expected name=value): {item!r}')
+        name, raw = item.split('=', 1)
+        name = name.strip()
+        if not hasattr(config, name):
+            raise ValueError(f'Unknown config field: {name!r}')
+        out[name] = _coerce(getattr(config, name), raw.strip())
+    return out

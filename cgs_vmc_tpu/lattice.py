@@ -1,0 +1,135 @@
+"""Lattice geometry: bond lists, adjacency, and Marshall sign rule.
+
+The reference represented a lattice only implicitly: a Python list of
+(i, j) bond tuples read from ``J.txt`` or defaulting to a 1-D periodic
+chain (cgs_vmc/run_training.py:103-109).  Here bonds are a static
+``[n_bonds, 2]`` int32 array so the Heisenberg local-energy kernel can
+generate every spin-exchanged configuration in one vectorized shot
+(see ops/heisenberg.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def chain_bonds(n_sites: int, periodic: bool = True) -> np.ndarray:
+    """Nearest-neighbour bonds of a 1-D chain.
+
+    Matches the reference default ``[(i, (i+1) % n) for i in range(n)]``
+    (cgs_vmc/run_training.py:109), which double-counts nothing but does
+    include the wrap bond (n-1, 0) when periodic.
+    """
+    if periodic:
+        bonds = [(i, (i + 1) % n_sites) for i in range(n_sites)]
+    else:
+        bonds = [(i, i + 1) for i in range(n_sites - 1)]
+    return np.asarray(bonds, dtype=np.int32)
+
+
+def square_lattice_bonds(
+    size_x: int, size_y: int, periodic: bool = True
+) -> np.ndarray:
+    """Nearest-neighbour bonds of a size_x × size_y square lattice.
+
+    Site index convention: site = x * size_y + y (row-major in x), which
+    matches the reshape used by the 2-D conv ansatzes
+    (cgs_vmc/wavefunctions.py:593-594 reshapes flat configs to
+    [-1, size_x, size_y, 1]).
+    """
+    def site(x: int, y: int) -> int:
+        return (x % size_x) * size_y + (y % size_y)
+
+    bonds = []
+    seen = set()
+    for x in range(size_x):
+        for y in range(size_y):
+            if periodic or x + 1 < size_x:
+                bonds.append((site(x, y), site(x + 1, y)))
+            if periodic or y + 1 < size_y:
+                bonds.append((site(x, y), site(x, y + 1)))
+    # Deduplicate unordered pairs (an L=2 periodic direction would emit the
+    # same physical bond twice) and drop self-loops (L=1 direction).
+    unique = []
+    for i, j in bonds:
+        key = (min(i, j), max(i, j))
+        if i == j or key in seen:
+            continue
+        seen.add(key)
+        unique.append((i, j))
+    return np.asarray(unique, dtype=np.int32)
+
+
+def load_bonds(path: str) -> np.ndarray:
+    """Loads a bond list from a whitespace-separated file of ``i j`` rows.
+
+    Same format as the reference's ``J.txt`` (cgs_vmc/run_training.py:105-107:
+    ``np.genfromtxt(path, dtype=int)`` then first two columns per row).
+    """
+    data = np.genfromtxt(path, dtype=np.int64)
+    data = np.atleast_2d(data)
+    return data[:, :2].astype(np.int32)
+
+
+def bonds_for_config(config) -> np.ndarray:
+    """Resolves the bond list for a run configuration.
+
+    Priority: explicit J-file > 2-D square lattice (size_x*size_y ==
+    num_sites and both > 1) > 1-D periodic chain (the reference fallback).
+    """
+    if config.j_file_path:
+        return load_bonds(config.j_file_path)
+    if (config.size_x > 1 and config.size_y > 1
+            and config.size_x * config.size_y == config.num_sites):
+        return square_lattice_bonds(config.size_x, config.size_y)
+    return chain_bonds(config.num_sites)
+
+
+def marshall_sublattice(num_sites: int, size_x: int = 1, size_y: int = 1
+                        ) -> np.ndarray:
+    """Returns the ±1 sublattice mask for the Marshall sign rule.
+
+    For bipartite lattices, the Marshall–Peierls gauge makes the AFM
+    Heisenberg ground state positive.  The reference applied it implicitly
+    by training with ``heisenberg_jx = -1`` on bipartite lattices
+    (cgs_vmc/run_training.py:74-79 docstring); here the same physics is
+    available either way (flip jx, or use this mask for basis rotation).
+
+    Returns +1 on sublattice A, -1 on sublattice B.
+    """
+    if size_x > 1 and size_y > 1 and size_x * size_y == num_sites:
+        x = np.arange(num_sites) // size_y
+        y = np.arange(num_sites) % size_y
+        return np.where((x + y) % 2 == 0, 1, -1).astype(np.int32)
+    return np.where(np.arange(num_sites) % 2 == 0, 1, -1).astype(np.int32)
+
+
+def load_adjacency(path: str) -> np.ndarray:
+    """Loads a ``[n_sites, num_neighbors]`` adjacency list (int) from file.
+
+    Format matches the reference's graph-conv input
+    (cgs_vmc/utils.py:51-55, cgs_vmc/wavefunctions.py:1148).
+    """
+    adj = np.genfromtxt(path, dtype=np.int64)
+    return np.atleast_2d(adj).astype(np.int32)
+
+
+def adjacency_from_bonds(bonds: np.ndarray, num_sites: int) -> np.ndarray:
+    """Builds a fixed-width adjacency list from a bond list.
+
+    Utility for graph-conv ansatzes when no adjacency file is given; pads
+    ragged neighbour lists by repeating the site's own index (self-loop),
+    keeping shapes static for XLA.
+    """
+    neigh = [[] for _ in range(num_sites)]
+    for i, j in np.asarray(bonds):
+        neigh[int(i)].append(int(j))
+        neigh[int(j)].append(int(i))
+    width = max(len(x) for x in neigh)
+    out = np.zeros((num_sites, width), dtype=np.int32)
+    for s in range(num_sites):
+        row = neigh[s] or [s]
+        while len(row) < width:
+            row.append(s)
+        out[s] = row[:width]
+    return out

@@ -1,0 +1,82 @@
+"""Wavefunction ansatz registry and factory.
+
+Mirrors the reference's `build_wavefunction` dispatch + composite handling
+(cgs_vmc/wavefunctions.py:1157-1211): registered single types, or
+'sum'/'diff'/'prod' composites of two sub-ansatzes with per-part output
+activations combined via log-domain wavefunction algebra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from cgs_vmc_tpu.models.base import (
+    Params,
+    ProductOfWavefunctions,
+    ScaledWavefunction,
+    SumOfWavefunctions,
+    TransformedWavefunction,
+    Wavefunction,
+    WAVEFUNCTION_TYPES,
+    register,
+)
+
+# Importing the ansatz modules populates WAVEFUNCTION_TYPES.
+from cgs_vmc_tpu.models.feedforward import (
+    FullyConnectedNetwork,
+    RestrictedBoltzmannNetwork,
+)
+from cgs_vmc_tpu.models.conv import (
+    Conv1DNetwork,
+    Conv2DNetwork,
+    ResNet1D,
+    ResNet2D,
+)
+from cgs_vmc_tpu.models.mps import MatrixProductState
+from cgs_vmc_tpu.models.determinant import FullyConnectedNNB, ProjectedBDG
+from cgs_vmc_tpu.models.full_vector import FullVector
+from cgs_vmc_tpu.models.graph_conv import GraphConvNetwork
+
+
+COMPOSITE_TYPES = ('sum', 'diff', 'prod')
+
+
+def build_wavefunction(config) -> Wavefunction:
+    """Builds the ansatz requested by ``config.wavefunction_type``.
+
+    Raises:
+      ValueError: the requested type is not registered.
+    """
+    wf_type = config.wavefunction_type
+    if wf_type in WAVEFUNCTION_TYPES:
+        return WAVEFUNCTION_TYPES[wf_type].from_config(config)
+
+    if wf_type in COMPOSITE_TYPES:
+        type_a, type_b = config.composite_wavefunction_types
+        act_a, act_b = config.composite_output_activations
+        config_a = dataclasses.replace(
+            config, wavefunction_type=type_a, output_activation=act_a)
+        config_b = dataclasses.replace(
+            config, wavefunction_type=type_b, output_activation=act_b)
+        wf_a = WAVEFUNCTION_TYPES[type_a].from_config(config_a, name='wf_a')
+        wf_b = WAVEFUNCTION_TYPES[type_b].from_config(config_b, name='wf_b')
+        if wf_type == 'sum':
+            return wf_a + wf_b
+        if wf_type == 'diff':
+            return wf_a - wf_b
+        return wf_a * wf_b
+
+    raise ValueError(
+        f'Provided wavefunction_type is not registered: {wf_type!r}. '
+        f'Known: {sorted(WAVEFUNCTION_TYPES)} + {COMPOSITE_TYPES}')
+
+
+__all__ = [
+    'Params', 'Wavefunction', 'WAVEFUNCTION_TYPES', 'register',
+    'SumOfWavefunctions', 'ProductOfWavefunctions', 'ScaledWavefunction',
+    'TransformedWavefunction', 'build_wavefunction',
+    'FullyConnectedNetwork', 'RestrictedBoltzmannNetwork',
+    'Conv1DNetwork', 'Conv2DNetwork', 'ResNet1D', 'ResNet2D',
+    'MatrixProductState', 'ProjectedBDG', 'FullyConnectedNNB',
+    'FullVector', 'GraphConvNetwork',
+]

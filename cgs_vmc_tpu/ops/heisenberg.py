@@ -1,0 +1,155 @@
+"""Heisenberg operators with batched connected-configuration evaluation.
+
+Re-design of the reference operator stack (cgs_vmc/operators.py:13-287).
+The reference evaluated ONE wavefunction forward pass per bond
+(operators.py:241-247), replicating the network graph n_bonds times; here
+all spin-exchanged configurations are generated as one
+[batch, n_bonds, n_sites] tensor with pure arithmetic (no scatters) and
+log-amplitudes are evaluated in a single fused forward pass over
+[batch * n_bonds, n_sites] — the SURVEY.md §7.3 north-star requirement.
+
+Conventions (operators.py:154-169):
+  diagonal  <R|Sz_i Sz_j|R>            = 0.25 * j_z * s_i * s_j
+  off-diag  <R|Sx_i Sx_j + Sy_i Sy_j|psi> = 0.5 * j_x * [s_i != s_j] * psi(R_ij)
+with R_ij = R with spins i,j exchanged, so the local value is
+  E_loc(R) = sum_b 0.25*j_z*s_i*s_j + 0.5*j_x*mask_b * psi(R_b)/psi(R),
+and the amplitude ratio is sign_b*sign * exp(log_b - log) — overflow-free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cgs_vmc_tpu.models.base import Params, TransformedWavefunction, Wavefunction
+from cgs_vmc_tpu.ops import logamp
+from cgs_vmc_tpu.ops.logamp import LogAmp
+
+
+class Operator:
+    """Quantum operator protocol (reference operators.py:13-87), log-domain.
+
+    local_value: E_loc(R) = <R|O|psi>/<R|psi>            -> [batch]
+    apply_in_place: <R|O|psi> as a LogAmp                 -> LogAmp
+    apply: O|psi> wrapped as a Wavefunction.
+    """
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        raise NotImplementedError
+
+    def apply_in_place(self, wf: Wavefunction, params: Params,
+                       configs: jax.Array, amp: Optional[LogAmp] = None
+                       ) -> LogAmp:
+        raise NotImplementedError
+
+    def apply(self, wf: Wavefunction) -> Wavefunction:
+        raise NotImplementedError
+
+
+class HeisenbergHamiltonian(Operator):
+    """H = sum_{(i,j) in bonds} J_z Sz_i Sz_j + J_x (Sx_i Sx_j + Sy_i Sy_j)."""
+
+    def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0):
+        bonds = np.asarray(bonds, dtype=np.int32)
+        if bonds.ndim != 2 or bonds.shape[1] != 2:
+            raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
+        self.bonds = jnp.asarray(bonds)
+        self.n_bonds = bonds.shape[0]
+        self.j_x = float(j_x)
+        self.j_z = float(j_z)
+        # Static one-hot bond masks: [n_bonds, n_sites] built lazily per
+        # n_sites at trace time (cheap; XLA constant-folds them).
+
+    # ------------------------------------------------------------------
+
+    def diagonal(self, configs: jax.Array) -> jax.Array:
+        """Sum of Sz Sz matrix elements, [batch]."""
+        s_i = configs[:, self.bonds[:, 0]]
+        s_j = configs[:, self.bonds[:, 1]]
+        return 0.25 * self.j_z * jnp.sum(s_i * s_j, axis=-1)
+
+    def connected(self, configs: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+        """All spin-exchanged configurations and their matrix elements.
+
+        Returns:
+          flipped: [batch, n_bonds, n_sites] — configs with bond b's spins
+              exchanged (identical to configs where the bond is parallel).
+          weights: [batch, n_bonds] — 0.5*j_x where antiparallel, else 0.
+        """
+        n_sites = configs.shape[-1]
+        s_i = configs[:, self.bonds[:, 0]]  # [batch, n_bonds]
+        s_j = configs[:, self.bonds[:, 1]]
+        onehot_i = jax.nn.one_hot(self.bonds[:, 0], n_sites,
+                                  dtype=configs.dtype)
+        onehot_j = jax.nn.one_hot(self.bonds[:, 1], n_sites,
+                                  dtype=configs.dtype)
+        delta = (s_j - s_i)[..., None] * onehot_i[None] \
+            + (s_i - s_j)[..., None] * onehot_j[None]
+        flipped = configs[:, None, :] + delta
+        weights = 0.5 * self.j_x * (s_i * s_j < 0).astype(configs.dtype)
+        return flipped, weights
+
+    def _offdiag_ratio_sum(self, wf: Wavefunction, params: Params,
+                           configs: jax.Array, amp: LogAmp) -> jax.Array:
+        """sum_b w_b * psi(R_b)/psi(R) in one fused forward pass, [batch]."""
+        batch, n_sites = configs.shape
+        flipped, weights = self.connected(configs)
+        flat = flipped.reshape(batch * self.n_bonds, n_sites)
+        amp_f = wf.apply(params, flat)
+        log_f = amp_f.log.reshape(batch, self.n_bonds)
+        sign_f = amp_f.sign.reshape(batch, self.n_bonds)
+        ratios = (sign_f * amp.sign[:, None]
+                  * jnp.exp(log_f - amp.log[:, None]))
+        return jnp.sum(weights * ratios, axis=-1)
+
+    # ------------------------------------------------------------------
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        if amp is None:
+            amp = wf.apply(params, configs)
+        return self.diagonal(configs) + self._offdiag_ratio_sum(
+            wf, params, configs, amp)
+
+    def apply_in_place(self, wf: Wavefunction, params: Params,
+                       configs: jax.Array, amp: Optional[LogAmp] = None
+                       ) -> LogAmp:
+        """<R|H|psi> = psi(R) * E_loc(R) as a LogAmp."""
+        if amp is None:
+            amp = wf.apply(params, configs)
+        e_loc = self.local_value(wf, params, configs, amp)
+        return LogAmp(amp.sign * jnp.sign(e_loc),
+                      amp.log + jnp.log(jnp.abs(e_loc)))
+
+    def apply(self, wf: Wavefunction) -> Wavefunction:
+        def transform(params: Params, configs: jax.Array) -> LogAmp:
+            return self.apply_in_place(wf, params, configs)
+        return TransformedWavefunction(transform, wf, name='h_applied')
+
+
+class HeisenbergBond(HeisenbergHamiltonian):
+    """A single S_i . S_j bond (reference operators.py:128-209)."""
+
+    def __init__(self, bond: Tuple[int, int], j_x: float = 1.0,
+                 j_z: float = 1.0):
+        super().__init__(np.asarray([bond], dtype=np.int32), j_x, j_z)
+
+
+def ite_target(hamiltonian: HeisenbergHamiltonian, wf: Wavefunction,
+               beta: float) -> Wavefunction:
+    """(1 - beta*H)|psi> as a wavefunction — the IT-SWO supervisor target
+    (reference training.py:663-666 built it from apply_in_place)."""
+    def transform(params: Params, configs: jax.Array) -> LogAmp:
+        amp = wf.apply(params, configs)
+        e_loc = hamiltonian.local_value(wf, params, configs, amp)
+        factor = 1.0 - beta * e_loc
+        return LogAmp(amp.sign * jnp.sign(factor),
+                      amp.log + jnp.log(jnp.abs(factor)))
+    return TransformedWavefunction(transform, wf, name='ite_target')

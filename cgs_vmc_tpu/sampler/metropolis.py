@@ -1,0 +1,142 @@
+"""Sz-conserving Metropolis exchange sampler, fully compiled.
+
+Re-design of the reference's per-move session.run sampler
+(cgs_vmc/graph_builders.py:38-89): the move semantics are identical —
+pick one random down spin and one random up spin per chain via the
+noise-weighted argmin/argmax trick, exchange them, accept with
+|psi'/psi| > sqrt(u) (⇔ |psi|² sampling) — but whole sweeps
+(n_sites proposals) and multi-sweep decorrelation runs execute inside a
+single jitted `lax.fori_loop`, eliminating the reference's ~6,000
+Python→device round-trips per epoch (SURVEY.md §3.1).
+
+State is a pytree sharded along the chain axis: each chain carries its own
+PRNG key, so sharding over a device mesh requires no cross-device RNG
+coordination whatsoever.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cgs_vmc_tpu import basis as basis_lib
+from cgs_vmc_tpu.models.base import Params, Wavefunction
+
+
+class SamplerState(NamedTuple):
+    """Per-chain Markov state (all leaves lead with the chain axis)."""
+    configs: jax.Array        # [chains, n_sites] ±1 float32
+    log_amp: jax.Array        # [chains] log|psi(configs)|
+    sign: jax.Array           # [chains] sign(psi(configs))
+    keys: jax.Array           # [chains] per-chain PRNG keys (uint32[2])
+    num_accepted: jax.Array   # [chains] float32 accepted-move counter
+    num_proposed: jax.Array   # [chains] float32 proposal counter
+
+
+def init_sampler(key: jax.Array, wf: Wavefunction, params: Params,
+                 n_sites: int, n_chains: int) -> SamplerState:
+    """Random Sz=0 chains + their amplitudes (reference utils.py:169-192
+    for the initializer; amplitudes cached so each proposal needs only one
+    new forward pass, vs the reference's two, graph_builders.py:54-55,74)."""
+    init_key, chain_key = jax.random.split(key)
+    configs = basis_lib.random_configurations(init_key, n_sites, n_chains)
+    amp = wf.apply(params, configs)
+    return SamplerState(
+        configs=configs,
+        log_amp=amp.log,
+        sign=amp.sign,
+        keys=jax.random.split(chain_key, n_chains),
+        num_accepted=jnp.zeros(n_chains, jnp.float32),
+        num_proposed=jnp.zeros(n_chains, jnp.float32),
+    )
+
+
+def _propose_exchange(keys: jax.Array, configs: jax.Array
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One exchange proposal per chain.
+
+    Weighted argmin/argmax pick (reference graph_builders.py:59-65):
+    multiply spins by per-site uniforms; the argmin is a uniformly random
+    -1 site, the argmax a uniformly random +1 site.
+
+    Returns (proposed_configs, accept_uniform, new_keys).
+    """
+    n_chains, n_sites = configs.shape
+
+    def per_chain(k):
+        k_next, k_sites, k_accept = jax.random.split(k, 3)
+        u = jax.random.uniform(k_sites, (n_sites,))
+        return k_next, u, jax.random.uniform(k_accept, ())
+
+    new_keys, site_u, accept_u = jax.vmap(per_chain)(keys)
+    swap_choice = configs * site_u
+    down_site = jnp.argmin(swap_choice, axis=-1)  # a random -1 spin
+    up_site = jnp.argmax(swap_choice, axis=-1)    # a random +1 spin
+    rows = jnp.arange(n_chains)
+    proposed = configs.at[rows, down_site].set(1.0)
+    proposed = proposed.at[rows, up_site].set(-1.0)
+    return proposed, accept_u, new_keys
+
+
+def mc_step(wf: Wavefunction, params: Params, state: SamplerState
+            ) -> SamplerState:
+    """One Metropolis exchange move on every chain.
+
+    Acceptance: |psi'|/|psi| > sqrt(u) ⇔ 2*(log' - log) > log(u), the
+    |psi|²-sampling rule of the reference (graph_builders.py:75-79).
+    """
+    proposed, accept_u, new_keys = _propose_exchange(state.keys,
+                                                     state.configs)
+    amp_new = wf.apply(params, proposed)
+    accept = 2.0 * (amp_new.log - state.log_amp) > jnp.log(accept_u)
+    return SamplerState(
+        configs=jnp.where(accept[:, None], proposed, state.configs),
+        log_amp=jnp.where(accept, amp_new.log, state.log_amp),
+        sign=jnp.where(accept, amp_new.sign, state.sign),
+        keys=new_keys,
+        num_accepted=state.num_accepted + accept.astype(jnp.float32),
+        num_proposed=state.num_proposed + 1.0,
+    )
+
+
+def run_steps(wf: Wavefunction, params: Params, state: SamplerState,
+              num_steps: int) -> SamplerState:
+    """`num_steps` sequential moves inside one compiled loop."""
+    if num_steps <= 0:
+        return state
+    return lax.fori_loop(
+        0, num_steps, lambda _, s: mc_step(wf, params, s), state)
+
+
+def run_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
+               num_sweeps: int) -> SamplerState:
+    """A sweep = n_sites proposals per chain (reference epoch loops ran
+    `num_*_sweeps * num_sites` individual session.run calls,
+    cgs_vmc/training.py:608-617)."""
+    n_sites = state.configs.shape[-1]
+    return run_steps(wf, params, state, num_sweeps * n_sites)
+
+
+def reset_stats(state: SamplerState) -> SamplerState:
+    return state._replace(
+        num_accepted=jnp.zeros_like(state.num_accepted),
+        num_proposed=jnp.zeros_like(state.num_proposed),
+    )
+
+
+def acceptance_rate(state: SamplerState) -> jax.Array:
+    """Fraction of accepted moves since the last reset, [] float32."""
+    total = jnp.sum(state.num_proposed)
+    return jnp.sum(state.num_accepted) / jnp.maximum(total, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def jitted_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
+                  num_sweeps: int) -> SamplerState:
+    """Standalone jitted entry point (drivers embed run_sweeps in larger
+    compiled epoch functions instead)."""
+    return run_sweeps(wf, params, state, num_sweeps)

@@ -1,0 +1,99 @@
+"""Exact diagonalization oracle for the Heisenberg model in a fixed Sz sector.
+
+The reference has no testing or validation machinery at all (SURVEY.md §4);
+this module provides the exactness oracle the physics affords: dense/sparse
+sector Hamiltonians, exact ground states, and exact expectation values that
+unit/integration tests and the FullVector ansatz check against.
+
+Convention matches the reference operators (cgs_vmc/operators.py:137-169):
+H = sum_bonds [ 0.25*jz*sigma_i*sigma_j  +  0.5*jx*(exchange term) ], i.e.
+S_i.S_j with S = sigma/2 and transverse coupling jx, longitudinal jz.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cgs_vmc_tpu import basis as basis_lib
+
+
+def heisenberg_matrix(
+    n_sites: int,
+    bonds: np.ndarray,
+    j_x: float = 1.0,
+    j_z: float = 1.0,
+    n_down: int | None = None,
+    sparse: bool | None = None,
+):
+    """Builds the sector Hamiltonian over `enumerate_sz_basis` ordering.
+
+    Returns a scipy CSR matrix when `sparse` (default for dim > 4096),
+    else a dense float64 array.
+    """
+    states = basis_lib.enumerate_sz_basis(n_sites, n_down)
+    dim = states.shape[0]
+    if sparse is None:
+        sparse = dim > 4096
+    index = {s.astype(np.int8).tobytes(): r for r, s in enumerate(states)}
+    bonds = np.asarray(bonds)
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(dim, dtype=np.float64)
+    for r in range(dim):
+        s = states[r].astype(np.int8)
+        for (i, j) in bonds:
+            si, sj = int(s[i]), int(s[j])
+            diag[r] += 0.25 * j_z * si * sj
+            if si != sj:
+                flipped = s.copy()
+                flipped[i], flipped[j] = sj, si
+                c = index[flipped.tobytes()]
+                rows.append(r)
+                cols.append(c)
+                vals.append(0.5 * j_x)
+    if sparse:
+        import scipy.sparse as sp
+        mat = sp.csr_matrix((vals, (rows, cols)), shape=(dim, dim))
+        mat = mat + sp.diags(diag)
+        return mat
+    mat = np.zeros((dim, dim), dtype=np.float64)
+    mat[rows, cols] = np.asarray(vals)
+    # Note: no duplicate (r, c) pairs occur for simple bond lists, but the
+    # reference's 1-D chain of n=2 repeats a bond; accumulate to be safe.
+    if len(rows):
+        mat = np.zeros((dim, dim), dtype=np.float64)
+        np.add.at(mat, (np.asarray(rows), np.asarray(cols)), np.asarray(vals))
+    mat[np.arange(dim), np.arange(dim)] += diag
+    return mat
+
+
+def ground_state(
+    n_sites: int,
+    bonds: np.ndarray,
+    j_x: float = 1.0,
+    j_z: float = 1.0,
+    n_down: int | None = None,
+) -> tuple[float, np.ndarray]:
+    """Exact ground-state (energy, sector vector)."""
+    mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down)
+    if hasattr(mat, 'toarray') and mat.shape[0] > 4096:
+        import scipy.sparse.linalg as spla
+        vals, vecs = spla.eigsh(mat, k=1, which='SA')
+        return float(vals[0]), vecs[:, 0]
+    dense = mat.toarray() if hasattr(mat, 'toarray') else mat
+    vals, vecs = np.linalg.eigh(dense)
+    return float(vals[0]), vecs[:, 0]
+
+
+def rayleigh_quotient(
+    vector: np.ndarray,
+    n_sites: int,
+    bonds: np.ndarray,
+    j_x: float = 1.0,
+    j_z: float = 1.0,
+    n_down: int | None = None,
+) -> float:
+    """<v|H|v> / <v|v> for a sector vector (gradient-check oracle)."""
+    mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down)
+    hv = mat @ vector
+    return float(vector @ hv / (vector @ vector))
