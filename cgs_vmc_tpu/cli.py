@@ -1,0 +1,142 @@
+"""Command-line interface: ``cgs train | distill | eval | dump``.
+
+Replaces the reference's three absl binaries (cgs_vmc/run_training.py,
+run_supervised_training.py, run_energy_evaluation.py) with one entry point.
+Config handling mirrors the reference flags: a JSON config persisted in the
+checkpoint dir, CLI shortcuts for the common fields, and an ``--override``
+comma-string for everything else (cgs_vmc/run_training.py:60-64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from cgs_vmc_tpu.config import Config
+
+
+def _add_common(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument('--checkpoint_dir', default='',
+                        help='Run directory for checkpoints/metrics/config.')
+    parser.add_argument('--config', default='',
+                        help='Path to a config.json to start from.')
+    parser.add_argument('--override', default='',
+                        help='Comma-separated name=value config overrides '
+                             '(lists as [a;b;c]).')
+    parser.add_argument('--num_sites', type=int, default=None)
+    parser.add_argument('--num_epochs', type=int, default=None)
+    parser.add_argument('--wavefunction_type', default=None)
+    parser.add_argument('--optimizer_type', default=None,
+                        help='Ground-state or supervised optimizer name.')
+    parser.add_argument('--heisenberg_jx', type=float, default=None)
+    parser.add_argument('--seed', type=int, default=None)
+
+
+def _build_config(args: argparse.Namespace, default_optimizer: str) -> Config:
+    config = Config.load(args.config) if args.config else Config()
+    updates = {}
+    if args.checkpoint_dir:
+        updates['checkpoint_dir'] = args.checkpoint_dir
+    for field in ('num_sites', 'num_epochs', 'wavefunction_type',
+                  'heisenberg_jx', 'seed'):
+        value = getattr(args, field)
+        if value is not None:
+            updates[field] = value
+    if args.optimizer_type is not None:
+        updates['wavefunction_optimizer_type'] = args.optimizer_type
+    config = config.override_from_dict(updates)
+    if not config.wavefunction_optimizer_type:
+        config = config.replace(
+            wavefunction_optimizer_type=default_optimizer)
+    if args.override:
+        config = config.parse(args.override)
+    return config
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog='cgs',
+        description='TPU-native neural-quantum-state VMC framework.')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    p_train = sub.add_parser('train', help='Ground-state optimization.')
+    _add_common(p_train)
+    p_train.add_argument('--resume', action='store_true',
+                         help='Resume from the latest checkpoint.')
+
+    p_distill = sub.add_parser(
+        'distill', help='Supervised distillation toward a trained target.')
+    _add_common(p_distill)
+    p_distill.add_argument('--supervisor_dir', required=True,
+                           help='Checkpoint dir of the trained supervisor.')
+    p_distill.add_argument('--resume', action='store_true')
+
+    p_eval = sub.add_parser('eval', help='Monte Carlo energy evaluation.')
+    _add_common(p_eval)
+
+    p_dump = sub.add_parser(
+        'dump', help='Write full-basis wavefunction amplitudes to a file.')
+    _add_common(p_dump)
+
+    args = parser.parse_args(argv)
+
+    if args.command == 'train':
+        from cgs_vmc_tpu.train import train
+        config = _build_config(args, default_optimizer='ITSWO')
+        train(config, resume=args.resume)
+        return 0
+
+    if args.command == 'distill':
+        from cgs_vmc_tpu.train import distill
+        config = _build_config(args, default_optimizer='SWO')
+        config = config.replace(supervisor_dir=args.supervisor_dir)
+        distill(config, resume=args.resume)
+        return 0
+
+    if args.command in ('eval', 'dump'):
+        import jax
+        from cgs_vmc_tpu import models
+        from cgs_vmc_tpu.train import build_hamiltonian
+        from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
+        from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
+
+        # Reload the run's persisted config (reference
+        # run_energy_evaluation.py:45-47 reread hparams.pbtxt).
+        run_dir = args.checkpoint_dir
+        config_path = args.config or os.path.join(run_dir, 'config.json')
+        args.config = ''
+        config = Config.load(config_path)
+        config = _build_config(args, default_optimizer=(
+            config.wavefunction_optimizer_type or 'ITSWO'))
+        config = config.replace(checkpoint_dir=run_dir)
+
+        wf = models.build_wavefunction(config)
+        latest = ckpt_lib.latest_checkpoint(run_dir)
+        if latest is None:
+            print(f'No checkpoint found in {run_dir!r}', file=sys.stderr)
+            return 1
+        opt_name = config.wavefunction_optimizer_type
+        hamiltonian = build_hamiltonian(config)
+        optimizer = GROUND_STATE_OPTIMIZERS[opt_name](
+            wf, hamiltonian, config)
+        state = optimizer.init_state(jax.random.key(config.seed))
+        state = ckpt_lib.restore_checkpoint(latest, state)
+
+        if args.command == 'eval':
+            from cgs_vmc_tpu.evaluate import evaluate_operator
+            result = evaluate_operator(wf, state.params, hamiltonian, config)
+            print(f'Energy: {result.mean} +/- {result.error}')
+            print(f'Acceptance rate: {result.acceptance_rate:.4f}')
+        else:
+            from cgs_vmc_tpu.evaluate import evaluate_vector
+            psi = evaluate_vector(wf, state.params, config)
+            print(f'Wrote {psi.shape[0]} amplitudes to '
+                  f'{run_dir}/wavefunction_epoch_0.txt')
+        return 0
+
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""Wavefunction evaluators: Monte Carlo observables and full-basis dumps.
+
+Re-designs of the reference evaluators (cgs_vmc/evaluation.py:30-246):
+
+ * MonteCarloOperatorEvaluator — equilibrate, then alternate (record local
+   values / decorrelate) entirely inside compiled calls.  Error analysis is
+   done RIGHT: binning over decorrelated samples gives the standard error
+   of the mean (the reference printed ``sqrt(std)/len``, a dimensionally
+   wrong formula, cgs_vmc/run_energy_evaluation.py:87).
+ * VectorWavefunctionEvaluator — batched amplitude dump over an enumerated
+   basis for fidelity/overlap checks against ED.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cgs_vmc_tpu import basis as basis_lib
+from cgs_vmc_tpu.models.base import Params, Wavefunction
+from cgs_vmc_tpu.ops.heisenberg import Operator
+from cgs_vmc_tpu.sampler import metropolis
+
+
+class EvalResult(NamedTuple):
+    mean: float
+    error: float           # standard error of the mean (binned)
+    values: np.ndarray     # per-sample batch means [num_samples]
+    acceptance_rate: float
+
+
+def _sample_loop(wf: Wavefunction, operator: Operator, params: Params,
+                 state: metropolis.SamplerState, num_samples: int,
+                 sweeps_between: int):
+    """(record batch-mean local value; decorrelate) × num_samples, compiled."""
+
+    def step(smp, _):
+        value = jnp.mean(operator.local_value(wf, params, smp.configs))
+        smp = metropolis.run_sweeps(wf, params, smp, sweeps_between)
+        return smp, value
+
+    return lax.scan(step, state, None, length=num_samples)
+
+
+def evaluate_operator(
+    wf: Wavefunction,
+    params: Params,
+    operator: Operator,
+    config,
+    key: Optional[jax.Array] = None,
+    state: Optional[metropolis.SamplerState] = None,
+) -> EvalResult:
+    """MC expectation <O> = mean(O_loc) with binned error bars
+    (reference evaluation.py:74-152 + run_energy_evaluation.py:63-88)."""
+    if state is None:
+        if key is None:
+            key = jax.random.key(config.seed)
+        state = metropolis.init_sampler(
+            key, wf, params, config.num_sites, config.batch_size)
+    state = metropolis.refresh_amplitudes(wf, params, state)
+
+    @jax.jit
+    def run(smp):
+        smp = metropolis.reset_stats(smp)
+        smp = metropolis.run_sweeps(wf, params, smp,
+                                    config.num_equilibration_sweeps)
+        smp, values = _sample_loop(
+            wf, operator, params, smp, config.num_evaluation_samples,
+            config.num_monte_carlo_sweeps)
+        return smp, values
+
+    state, values = run(state)
+    values = np.asarray(values)
+    mean, err = binned_error(values)
+    return EvalResult(
+        mean=float(mean),
+        error=float(err),
+        values=values,
+        acceptance_rate=float(metropolis.acceptance_rate(state)),
+    )
+
+
+def binned_error(values: np.ndarray, min_bins: int = 16
+                 ) -> tuple[float, float]:
+    """Mean and autocorrelation-robust standard error via binning analysis:
+    double the bin size until the binned SEM plateaus (take its max)."""
+    values = np.asarray(values, dtype=np.float64)
+    n = len(values)
+    mean = values.mean()
+    if n < 2:
+        return mean, float('nan')
+    best = values.std(ddof=1) / np.sqrt(n)
+    size = 2
+    while n // size >= min_bins:
+        nb = n // size
+        binned = values[:nb * size].reshape(nb, size).mean(axis=1)
+        best = max(best, binned.std(ddof=1) / np.sqrt(nb))
+        size *= 2
+    return mean, best
+
+
+def evaluate_vector(
+    wf: Wavefunction,
+    params: Params,
+    config,
+    basis_array: Optional[np.ndarray] = None,
+    output_path: Optional[str] = None,
+    epoch_num: int = 0,
+) -> np.ndarray:
+    """Evaluates psi on every basis configuration; optionally writes the
+    reference's ``wavefunction_epoch_{n}.txt`` ``(re,im)`` format
+    (cgs_vmc/evaluation.py:223-246).  Returns raw amplitudes, normalized
+    to unit maximum magnitude (global scale is physically meaningless)."""
+    if basis_array is None:
+        if config.basis_file_path:
+            basis_array = basis_lib.load_basis_file(config.basis_file_path)
+        else:
+            basis_array = basis_lib.enumerate_sz_basis(config.num_sites)
+    configs = jnp.asarray(basis_array, jnp.float32)
+
+    batch = max(config.batch_size, 1)
+    apply_fn = jax.jit(lambda c: wf.apply(params, c))
+    signs, logs = [], []
+    for start in range(0, configs.shape[0], batch):
+        chunk = configs[start:start + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
+        amp = apply_fn(chunk)
+        take = batch - pad
+        signs.append(np.asarray(amp.sign[:take]))
+        logs.append(np.asarray(amp.log[:take]))
+    sign = np.concatenate(signs)
+    log = np.concatenate(logs)
+    psi = sign * np.exp(log - log.max())
+
+    if output_path is None and config.checkpoint_dir:
+        output_path = os.path.join(
+            config.checkpoint_dir, f'wavefunction_epoch_{epoch_num}.txt')
+    if output_path:
+        with open(output_path, 'w') as f:
+            for value in psi:
+                f.write(f'({value},{0.0})\n')
+    return psi
+
+
+def overlap_with_vector(psi: np.ndarray, reference_vector: np.ndarray
+                        ) -> float:
+    """|<psi|phi>| / (|psi||phi|) — fidelity against an ED vector."""
+    psi = np.asarray(psi, np.float64)
+    phi = np.asarray(reference_vector, np.float64)
+    return float(abs(psi @ phi) / (np.linalg.norm(psi) * np.linalg.norm(phi)))

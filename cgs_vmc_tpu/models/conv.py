@@ -37,9 +37,12 @@ class Conv1DNetwork(Wavefunction):
         keys = jax.random.split(key, self.num_layers)
         params = {}
         in_ch = 1
+        head_scale = 0.1 if self.output_activation == 'exp' else 1.0
         for i in range(self.num_layers):
+            scale = head_scale if i + 1 == self.num_layers else 1.0
             params[f'conv_{i}'] = nn.conv1d_init(
-                keys[i], in_ch, self.num_filters, self.kernel_size)
+                keys[i], in_ch, self.num_filters, self.kernel_size,
+                scale=scale)
             in_ch = self.num_filters
         return params
 
@@ -88,9 +91,12 @@ class Conv2DNetwork(Wavefunction):
         keys = jax.random.split(key, self.num_layers)
         params = {}
         in_ch = 1
+        head_scale = 0.1 if self.output_activation == 'exp' else 1.0
         for i in range(self.num_layers):
+            scale = head_scale if i + 1 == self.num_layers else 1.0
             params[f'conv_{i}'] = nn.conv2d_init(
-                keys[i], in_ch, self.num_filters, self.kernel_size)
+                keys[i], in_ch, self.num_filters, self.kernel_size,
+                scale=scale)
             in_ch = self.num_filters
         return params
 
@@ -138,8 +144,10 @@ class ResNet1D(Wavefunction):
 
     def init(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, self.num_blocks + 1)
+        stem_scale = 0.1 if self.output_activation == 'exp' else 1.0
         params = {'stem': nn.conv1d_init(
-            keys[0], 1, self.num_filters, self.kernel_size)}
+            keys[0], 1, self.num_filters, self.kernel_size,
+            scale=stem_scale)}
         block_init = (nn.bottleneck1d_init if self.bottleneck
                       else nn.resblock1d_init)
         for i in range(self.num_blocks):
@@ -190,8 +198,10 @@ class ResNet2D(Wavefunction):
 
     def init(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, self.num_blocks + 1)
+        stem_scale = 0.1 if self.output_activation == 'exp' else 1.0
         params = {'stem': nn.conv2d_init(
-            keys[0], 1, self.num_filters, self.kernel_size)}
+            keys[0], 1, self.num_filters, self.kernel_size,
+            scale=stem_scale)}
         block_init = (nn.bottleneck2d_init if self.bottleneck
                       else nn.resblock2d_init)
         for i in range(self.num_blocks):

@@ -44,7 +44,9 @@ class FullyConnectedNetwork(Wavefunction):
             params[f'dense_{i}'] = nn.linear_init(keys[i], in_dim,
                                                   self.layer_size)
             in_dim = self.layer_size
-        params['out'] = nn.linear_init(keys[-1], in_dim, 1)
+        # Small head init keeps initial logψ nearly flat (see nn.linear_init).
+        head_scale = 0.1 if self.output_activation == 'exp' else 1.0
+        params['out'] = nn.linear_init(keys[-1], in_dim, 1, scale=head_scale)
         return params
 
     def apply(self, params: Params, configs: jax.Array) -> LogAmp:
@@ -95,8 +97,11 @@ class RestrictedBoltzmannNetwork(Wavefunction):
             params[f'dense_{i}'] = nn.linear_init(keys[i], in_dim,
                                                   self.layer_size)
             in_dim = self.layer_size
-        params['hidden'] = nn.linear_init(keys[-2], in_dim, self.layer_size)
-        params['onsite'] = nn.linear_init(keys[-1], self.num_sites, 1)
+        # Small head init keeps initial logψ nearly flat (see nn.linear_init).
+        params['hidden'] = nn.linear_init(keys[-2], in_dim, self.layer_size,
+                                          scale=0.1)
+        params['onsite'] = nn.linear_init(keys[-1], self.num_sites, 1,
+                                          scale=0.1)
         return params
 
     def apply(self, params: Params, configs: jax.Array) -> LogAmp:

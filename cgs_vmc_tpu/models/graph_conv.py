@@ -39,9 +39,11 @@ class GraphConvNetwork(Wavefunction):
         num_neighbors = self.adj.shape[1]
         params = {}
         in_ch = 1
+        head_scale = 0.1 if self.output_activation == 'exp' else 1.0
         for i in range(self.num_layers):
+            scale = head_scale if i + 1 == self.num_layers else 1.0
             params[f'gconv_{i}'] = nn.graph_conv_init(
-                keys[i], in_ch, self.num_filters, num_neighbors)
+                keys[i], in_ch, self.num_filters, num_neighbors, scale=scale)
             in_ch = self.num_filters
         return params
 

@@ -27,11 +27,20 @@ def _trunc_normal(key: jax.Array, shape: Sequence[int], stddev: float
 # Dense.
 # ----------------------------------------------------------------------
 
-def linear_init(key: jax.Array, in_dim: int, out_dim: int) -> dict:
+def linear_init(key: jax.Array, in_dim: int, out_dim: int,
+                scale: float = 1.0) -> dict:
     """Dense layer params; fan-in truncated-normal init (Sonnet's default
-    for snt.Linear, which the reference relied on throughout)."""
+    for snt.Linear, which the reference relied on throughout).
+
+    `scale` shrinks the init for log-amplitude OUTPUT heads: a log-domain
+    wavefunction must start nearly flat (logψ ≈ const across configs) or
+    the initial |ψ|² is already near-deterministic, Metropolis acceptance
+    starts at zero and the chains freeze before training begins.  (The
+    reference's raw-ψ networks had the same pathology hidden behind the
+    exp-norm-shift machinery.)
+    """
     w_key, _ = jax.random.split(key)
-    stddev = 1.0 / math.sqrt(max(in_dim, 1))
+    stddev = scale / math.sqrt(max(in_dim, 1))
     return {
         'w': _trunc_normal(w_key, (in_dim, out_dim), stddev),
         'b': jnp.zeros((out_dim,), jnp.float32),
@@ -77,10 +86,10 @@ def _periodic_pad_2d(x: jax.Array, kernel: int) -> jax.Array:
 
 
 def conv1d_init(key: jax.Array, in_channels: int, out_channels: int,
-                kernel: int) -> dict:
+                kernel: int, scale: float = 1.0) -> dict:
     w_key, _ = jax.random.split(key)
     fan_in = in_channels * kernel
-    stddev = 1.0 / math.sqrt(max(fan_in, 1))
+    stddev = scale / math.sqrt(max(fan_in, 1))
     return {
         'w': _trunc_normal(w_key, (kernel, in_channels, out_channels), stddev),
         'b': jnp.zeros((out_channels,), jnp.float32),
@@ -103,10 +112,10 @@ def conv1d_periodic_apply(params: dict, x: jax.Array, stride: int = 1
 
 
 def conv2d_init(key: jax.Array, in_channels: int, out_channels: int,
-                kernel: int) -> dict:
+                kernel: int, scale: float = 1.0) -> dict:
     w_key, _ = jax.random.split(key)
     fan_in = in_channels * kernel * kernel
-    stddev = 1.0 / math.sqrt(max(fan_in, 1))
+    stddev = scale / math.sqrt(max(fan_in, 1))
     return {
         'w': _trunc_normal(
             w_key, (kernel, kernel, in_channels, out_channels), stddev),
@@ -214,10 +223,10 @@ def bottleneck2d_apply(params: dict, x: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------
 
 def graph_conv_init(key: jax.Array, in_channels: int, out_channels: int,
-                    num_neighbors: int) -> dict:
+                    num_neighbors: int, scale: float = 1.0) -> dict:
     w_key, _ = jax.random.split(key)
     fan_in = in_channels * num_neighbors
-    stddev = 1.0 / math.sqrt(max(fan_in, 1))
+    stddev = scale / math.sqrt(max(fan_in, 1))
     return {
         'w': _trunc_normal(
             w_key, (num_neighbors, in_channels, out_channels), stddev),

@@ -1,0 +1,534 @@
+"""Supervised Wavefunction Optimization (SWO) — imaginary-time and distillation.
+
+Re-designs of the reference's four supervised optimizers
+(cgs_vmc/training.py:135-503) and two imaginary-time ground-state optimizers
+(cgs_vmc/training.py:626-910), per arXiv:1808.05232.  Key structural change:
+the reference cloned the ansatz graph via ``copy.deepcopy`` + introspection
+and refreshed the supervisor with a group of tf.assign ops
+(training.py:660,709; wavefunctions.py:177-204,300-325).  Here the
+supervisor is just a second parameter pytree carried in
+``state.extra['omega']`` and the refresh is an assignment.
+
+Loss/gradient semantics preserved (log-domain):
+ * psi/stop_grad(psi) == exp(log - stop_grad(log)) — the reference's
+   normalized-output trick (training.py:545,337) — evaluates to 1 with
+   gradient ∇logψ;
+ * ITSWO normalization N = sqrt(1 − 2β<E> + β²<E²>) tracked by an
+   epoch-keyed EMA(0.999) (training.py:822-841), with the reference's
+   `time_evolution_befta` typo (training.py:812) fixed;
+ * the √(2^n) target scaling of the distillation losses
+   (training.py:170,257,452) is applied in log space.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cgs_vmc_tpu import basis as basis_lib
+from cgs_vmc_tpu.models.base import Params, Wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import common
+from cgs_vmc_tpu.optim.common import TrainState
+from cgs_vmc_tpu.sampler import metropolis
+
+
+def _ema_update(shadow: jax.Array, value: jax.Array, num_updates: jax.Array,
+                decay: float = 0.999) -> jax.Array:
+    """tf.train.ExponentialMovingAverage semantics with num_updates:
+    effective decay = min(decay, (1 + n) / (10 + n))."""
+    n = num_updates.astype(jnp.float32)
+    d = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
+    return shadow * d + value * (1.0 - d)
+
+
+def _normalized_psi(log: jax.Array) -> jax.Array:
+    """psi / stop_grad(psi): value 1, gradient ∇logψ (sign cancels)."""
+    return jnp.exp(log - lax.stop_gradient(log))
+
+
+class _SWOBase:
+    """Shared state plumbing for all SWO variants."""
+
+    def __init__(self, wf: Wavefunction, config):
+        self.wf = wf
+        self.config = config
+        self.optax_opt = common.make_optax_optimizer(config)
+
+    def _base_state(self, key: jax.Array, extra: dict,
+                    n_local_chains: Optional[int] = None) -> TrainState:
+        params_key, sampler_key = jax.random.split(key)
+        params = self.wf.init(params_key)
+        sampler = metropolis.init_sampler(
+            sampler_key, self.wf, params, self.config.num_sites,
+            n_local_chains or self.config.batch_size)
+        return TrainState(
+            params=params,
+            opt_state=self.optax_opt.init(params),
+            sampler=sampler,
+            epoch=jnp.zeros((), jnp.int32),
+            extra=extra,
+        )
+
+
+# ======================================================================
+# Ground-state imaginary-time SWO (self-supervised: target = (1-βH)|ψ_ω>).
+# ======================================================================
+
+class LogOverlapImaginaryTimeSWO(_SWOBase):
+    """Normalization-free IT-SWO via the log-overlap gradient
+    (reference training.py:626-778):
+      ∇L = <∇logψ> − <ratio·∇logψ>/<ratio>,  ratio = (ψ_ω − βHψ_ω)/ψ.
+    """
+
+    name = 'LogOverlapITSWO'
+
+    def __init__(self, wf: Wavefunction, hamiltonian: HeisenbergHamiltonian,
+                 config):
+        super().__init__(wf, config)
+        self.hamiltonian = hamiltonian
+
+    def init_state(self, key: jax.Array, n_local_chains: Optional[int] = None
+                   ) -> TrainState:
+        state = self._base_state(key, {}, n_local_chains)
+        return state._replace(
+            extra={'omega': jax.tree.map(jnp.copy, state.params)})
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf, ham = self.wf, self.hamiltonian
+        beta = cfg.time_evolution_beta
+
+        sampler = metropolis.reset_stats(state.sampler)
+        # Params changed since the cache was last written (previous epoch).
+        sampler = metropolis.refresh_amplitudes(wf, state.params, sampler)
+        sampler = metropolis.run_sweeps(
+            wf, state.params, sampler, cfg.num_equilibration_sweeps)
+        # Supervisor refresh (reference training.py:755): ψ_ω ← ψ.
+        omega = jax.tree.map(jnp.copy, state.params)
+
+        def batch_step(carry, _):
+            params, opt_state, smp, e_sum = carry
+            smp = metropolis.refresh_amplitudes(wf, params, smp)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        cfg.num_monte_carlo_sweeps)
+            configs = smp.configs
+            m = configs.shape[0]
+
+            amp = wf.apply(params, configs)
+            amp_omega = wf.apply(omega, configs)
+            e_loc_omega = ham.local_value(wf, omega, configs, amp_omega)
+            # ratio = (ψ_ω − β H ψ_ω) / ψ, all stop-grad (supervisor side).
+            ratio = lax.stop_gradient(
+                amp_omega.sign * amp.sign
+                * (1.0 - beta * e_loc_omega)
+                * jnp.exp(amp_omega.log - amp.log))
+
+            _, pullback = common.log_derivative_pullback(wf, params, configs)
+            g_plain = common.pmean(
+                pullback(jnp.full((m,), 1.0 / m)), axis_name)
+            g_ratio = common.pmean(pullback(ratio / m), axis_name)
+            mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
+
+            grads = jax.tree.map(
+                lambda a, b: a - b / mean_ratio, g_plain, g_ratio)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+
+            e_sum = e_sum + common.pmean(jnp.mean(e_loc_omega), axis_name)
+            return (params, opt_state, smp, e_sum), None
+
+        init = (state.params, state.opt_state, sampler,
+                jnp.zeros((), jnp.float32))
+        (params, opt_state, sampler, e_sum), _ = lax.scan(
+            batch_step, init, None, length=cfg.num_batches_per_epoch)
+
+        metrics = {
+            'energy': e_sum / cfg.num_batches_per_epoch,
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+        }
+        new_state = TrainState(params, opt_state, sampler, state.epoch + 1,
+                               {'omega': omega})
+        return new_state, metrics
+
+
+class ImaginaryTimeSWO(_SWOBase):
+    """L2-loss IT-SWO with EMA-tracked normalization (reference
+    training.py:781-910; 'ITSWO' — the reference's default ground-state
+    optimizer, run_training.py:48-51):
+      loss = <(ψ − (ψ_ω − βHψ_ω)/N)² / stop(ψ)²>,
+      N EMA-tracks sqrt(1 − 2β<E> + β²<E²>).
+    """
+
+    name = 'ITSWO'
+
+    def __init__(self, wf: Wavefunction, hamiltonian: HeisenbergHamiltonian,
+                 config):
+        super().__init__(wf, config)
+        self.hamiltonian = hamiltonian
+
+    def init_state(self, key: jax.Array, n_local_chains: Optional[int] = None
+                   ) -> TrainState:
+        state = self._base_state(key, {}, n_local_chains)
+        extra = {
+            'omega': jax.tree.map(jnp.copy, state.params),
+            'ite_normalization': jnp.ones((), jnp.float32),
+            'ema_norm': jnp.ones((), jnp.float32),
+            'ema_energy': jnp.zeros((), jnp.float32),
+            'ema_count': jnp.zeros((), jnp.float32),
+        }
+        return state._replace(extra=extra)
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf, ham = self.wf, self.hamiltonian
+        beta = cfg.time_evolution_beta
+
+        sampler = metropolis.reset_stats(state.sampler)
+        # Params changed since the cache was last written (previous epoch).
+        sampler = metropolis.refresh_amplitudes(wf, state.params, sampler)
+        sampler = metropolis.run_sweeps(
+            wf, state.params, sampler, cfg.num_equilibration_sweeps)
+        omega = jax.tree.map(jnp.copy, state.params)
+        norm_var = state.extra['ite_normalization']
+
+        def batch_step(carry, _):
+            params, opt_state, smp, ema_norm, ema_energy, ema_count = carry
+            smp = metropolis.refresh_amplitudes(wf, params, smp)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        cfg.num_monte_carlo_sweeps)
+            configs = smp.configs
+
+            amp_omega = wf.apply(omega, configs)
+            e_loc_omega = ham.local_value(wf, omega, configs, amp_omega)
+            e_mean = common.pmean(jnp.mean(e_loc_omega), axis_name)
+            e2_mean = common.pmean(jnp.mean(e_loc_omega ** 2), axis_name)
+            ite_norm = jnp.sqrt(1.0 - 2.0 * beta * e_mean
+                                + beta ** 2 * e2_mean)
+
+            def loss_fn(p):
+                amp = wf.apply(p, configs)
+                target = lax.stop_gradient(
+                    amp_omega.sign * amp.sign
+                    * (1.0 - beta * e_loc_omega)
+                    * jnp.exp(amp_omega.log - amp.log)) / norm_var
+                r = _normalized_psi(amp.log)
+                return jnp.mean((r - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = common.pmean(grads, axis_name)
+            loss = common.pmean(loss, axis_name)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+
+            ema_norm = _ema_update(ema_norm, ite_norm, ema_count)
+            ema_energy = _ema_update(ema_energy, e_mean, ema_count)
+            ema_count = ema_count + 1.0
+            carry = (params, opt_state, smp, ema_norm, ema_energy, ema_count)
+            return carry, loss
+
+        init = (state.params, state.opt_state, sampler,
+                state.extra['ema_norm'], state.extra['ema_energy'],
+                state.extra['ema_count'])
+        (params, opt_state, sampler, ema_norm, ema_energy, ema_count), losses \
+            = lax.scan(batch_step, init, None,
+                       length=cfg.num_batches_per_epoch)
+
+        extra = {
+            'omega': omega,
+            # update_normalization at epoch end (reference training.py:908).
+            'ite_normalization': ema_norm,
+            'ema_norm': ema_norm,
+            'ema_energy': ema_energy,
+            'ema_count': ema_count,
+        }
+        metrics = {
+            'energy': ema_energy,
+            'loss': jnp.mean(losses),
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+        }
+        new_state = TrainState(params, opt_state, sampler, state.epoch + 1,
+                               extra)
+        return new_state, metrics
+
+
+# ======================================================================
+# Supervised distillation toward a FIXED trained target wavefunction.
+# ======================================================================
+
+class SupervisedWavefunctionOptimizer(_SWOBase):
+    """'SWO': |ψ|²-sampled adjusted L2 fit to a fixed target
+    (reference training.py:135-212):
+      loss = <(ψ − ψ_t·√2ⁿ)² / stop(ψ)²>.
+    """
+
+    name = 'SWO'
+
+    def __init__(self, wf: Wavefunction, target_wf: Wavefunction, config):
+        super().__init__(wf, config)
+        self.target_wf = target_wf
+
+    def init_state(self, key: jax.Array, target_params: Params,
+                   n_local_chains: Optional[int] = None) -> TrainState:
+        state = self._base_state(key, {}, n_local_chains)
+        return state._replace(extra={'target': target_params})
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf = self.wf
+        target_params = state.extra['target']
+        half_log2n = 0.5 * cfg.num_sites * np.log(2.0)
+
+        def batch_step(carry, _):
+            params, opt_state, smp = carry
+            smp = metropolis.refresh_amplitudes(wf, params, smp)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        cfg.num_monte_carlo_sweeps)
+            configs = smp.configs
+            amp_t = self.target_wf.apply(target_params, configs)
+
+            def loss_fn(p):
+                amp = wf.apply(p, configs)
+                # ψ_t√2ⁿ / stop(ψ), computed in log space.
+                target = lax.stop_gradient(
+                    amp_t.sign * amp.sign
+                    * jnp.exp(amp_t.log + half_log2n - amp.log))
+                r = _normalized_psi(amp.log)
+                return jnp.mean((r - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = common.pmean(grads, axis_name)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+            return (params, opt_state, smp), common.pmean(loss, axis_name)
+
+        sampler = metropolis.reset_stats(state.sampler)
+        (params, opt_state, sampler), losses = lax.scan(
+            batch_step, (state.params, state.opt_state, sampler), None,
+            length=cfg.num_batches_per_epoch)
+
+        metrics = {
+            'loss': jnp.mean(losses),
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+        }
+        new_state = TrainState(params, opt_state, sampler, state.epoch + 1,
+                               state.extra)
+        return new_state, metrics
+
+
+class LogOverlapSWO(SupervisedWavefunctionOptimizer):
+    """Log-overlap gradient against a fixed target (reference
+    training.py:298-404): ∇L = <∇logψ> − <ratio·∇logψ>/<ratio>,
+    ratio = ψ_t/ψ."""
+
+    name = 'LogOverlapSWO'
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf = self.wf
+        target_params = state.extra['target']
+
+        def batch_step(carry, _):
+            params, opt_state, smp = carry
+            smp = metropolis.refresh_amplitudes(wf, params, smp)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        cfg.num_monte_carlo_sweeps)
+            configs = smp.configs
+            m = configs.shape[0]
+
+            amp = wf.apply(params, configs)
+            amp_t = self.target_wf.apply(target_params, configs)
+            ratio = lax.stop_gradient(
+                amp_t.sign * amp.sign * jnp.exp(amp_t.log - amp.log))
+
+            _, pullback = common.log_derivative_pullback(wf, params, configs)
+            g_plain = common.pmean(
+                pullback(jnp.full((m,), 1.0 / m)), axis_name)
+            g_ratio = common.pmean(pullback(ratio / m), axis_name)
+            mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
+            grads = jax.tree.map(
+                lambda a, b: a - b / mean_ratio, g_plain, g_ratio)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+            return (params, opt_state, smp), mean_ratio
+
+        sampler = metropolis.reset_stats(state.sampler)
+        (params, opt_state, sampler), ratios = lax.scan(
+            batch_step, (state.params, state.opt_state, sampler), None,
+            length=cfg.num_batches_per_epoch)
+
+        metrics = {
+            'mean_ratio': jnp.mean(ratios),
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+        }
+        new_state = TrainState(params, opt_state, sampler, state.epoch + 1,
+                               state.extra)
+        return new_state, metrics
+
+
+class DualSamplingSWO(_SWOBase):
+    """Raw-L2 fit with half the chains sampling |ψ|² and half |ψ_t|²
+    (reference training.py:407-503; the sampling bias is deliberately not
+    corrected, per its docstring)."""
+
+    name = 'DualSamplingSWO'
+
+    def __init__(self, wf: Wavefunction, target_wf: Wavefunction, config):
+        super().__init__(wf, config)
+        self.target_wf = target_wf
+
+    def init_state(self, key: jax.Array, target_params: Params,
+                   n_local_chains: Optional[int] = None) -> TrainState:
+        half = (n_local_chains or self.config.batch_size) // 2
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = self.wf.init(k1)
+        sampler = metropolis.init_sampler(
+            k2, self.wf, params, self.config.num_sites, half)
+        target_sampler = metropolis.init_sampler(
+            k3, self.target_wf, target_params, self.config.num_sites, half)
+        return TrainState(
+            params=params,
+            opt_state=self.optax_opt.init(params),
+            sampler=sampler,
+            epoch=jnp.zeros((), jnp.int32),
+            extra={'target': target_params,
+                   'target_sampler': target_sampler},
+        )
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf, target_wf = self.wf, self.target_wf
+        target_params = state.extra['target']
+        half_log2n = 0.5 * cfg.num_sites * np.log(2.0)
+
+        def batch_step(carry, _):
+            params, opt_state, smp, t_smp = carry
+            smp = metropolis.refresh_amplitudes(wf, params, smp)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        cfg.num_monte_carlo_sweeps)
+            t_smp = metropolis.run_sweeps(target_wf, target_params, t_smp,
+                                          cfg.num_monte_carlo_sweeps)
+            configs = jnp.concatenate([smp.configs, t_smp.configs], axis=0)
+            amp_t = target_wf.apply(target_params, configs)
+            psi_target = amp_t.sign * jnp.exp(amp_t.log + half_log2n)
+
+            def loss_fn(p):
+                amp = wf.apply(p, configs)
+                psi = amp.sign * jnp.exp(amp.log)
+                return jnp.mean((psi - psi_target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = common.pmean(grads, axis_name)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+            return (params, opt_state, smp, t_smp), common.pmean(
+                loss, axis_name)
+
+        sampler = metropolis.reset_stats(state.sampler)
+        t_sampler = metropolis.reset_stats(state.extra['target_sampler'])
+        (params, opt_state, sampler, t_sampler), losses = lax.scan(
+            batch_step,
+            (state.params, state.opt_state, sampler, t_sampler), None,
+            length=cfg.num_batches_per_epoch)
+
+        metrics = {
+            'loss': jnp.mean(losses),
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+        }
+        extra = dict(state.extra)
+        extra['target_sampler'] = t_sampler
+        new_state = TrainState(params, opt_state, sampler, state.epoch + 1,
+                               extra)
+        return new_state, metrics
+
+
+class BasisIterationSWO(_SWOBase):
+    """Raw-L2 fit over shuffled minibatches of the FULL fixed-Sz basis —
+    no MCMC (reference training.py:215-295, whose tf.data CSV pipeline
+    also carried a `scipy.special.binomi` typo; here the basis is an
+    in-memory array batched by a permutation carried in the train state)."""
+
+    name = 'BasisIterSWO'
+
+    def __init__(self, wf: Wavefunction, target_wf: Wavefunction, config,
+                 basis_array: Optional[np.ndarray] = None):
+        super().__init__(wf, config)
+        self.target_wf = target_wf
+        if basis_array is None:
+            if config.basis_file_path:
+                basis_array = basis_lib.load_basis_file(config.basis_file_path)
+            else:
+                basis_array = basis_lib.enumerate_sz_basis(config.num_sites)
+        self.basis = jnp.asarray(basis_array, jnp.float32)
+
+    def init_state(self, key: jax.Array, target_params: Params,
+                   n_local_chains: Optional[int] = None) -> TrainState:
+        del n_local_chains  # no MCMC chains in this optimizer
+        k1, k2 = jax.random.split(key)
+        params = self.wf.init(k1)
+        # A dummy 1-chain sampler keeps TrainState uniform across optimizers.
+        sampler = metropolis.init_sampler(
+            k2, self.wf, params, self.config.num_sites, 1)
+        return TrainState(
+            params=params,
+            opt_state=self.optax_opt.init(params),
+            sampler=sampler,
+            epoch=jnp.zeros((), jnp.int32),
+            extra={'target': target_params, 'data_key': jax.random.key(0)},
+        )
+
+    def epoch(self, state: TrainState, axis_name: Optional[str] = None
+              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.config
+        wf = self.wf
+        target_params = state.extra['target']
+        half_log2n = 0.5 * cfg.num_sites * np.log(2.0)
+        batch = cfg.batch_size
+
+        data_key, perm_key = jax.random.split(state.extra['data_key'])
+        # Sample with replacement at the batch level: enough random batches
+        # to fill the epoch regardless of basis size (static shapes).
+        idx = jax.random.randint(
+            perm_key, (cfg.num_batches_per_epoch, batch),
+            0, self.basis.shape[0])
+
+        def batch_step(carry, batch_idx):
+            params, opt_state = carry
+            configs = self.basis[batch_idx]
+            amp_t = self.target_wf.apply(target_params, configs)
+            psi_target = amp_t.sign * jnp.exp(amp_t.log + half_log2n)
+
+            def loss_fn(p):
+                amp = wf.apply(p, configs)
+                psi = amp.sign * jnp.exp(amp.log)
+                return jnp.mean((psi - psi_target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = common.pmean(grads, axis_name)
+            params, opt_state = self.optax_opt.update(
+                grads, opt_state, params, state.epoch)
+            return (params, opt_state), common.pmean(loss, axis_name)
+
+        (params, opt_state), losses = lax.scan(
+            batch_step, (state.params, state.opt_state), idx)
+
+        extra = dict(state.extra)
+        extra['data_key'] = data_key
+        metrics = {'loss': jnp.mean(losses)}
+        new_state = TrainState(params, opt_state, state.sampler,
+                               state.epoch + 1, extra)
+        return new_state, metrics

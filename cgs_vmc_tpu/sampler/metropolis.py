@@ -121,6 +121,19 @@ def run_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
     return run_steps(wf, params, state, num_sweeps * n_sites)
 
 
+def refresh_amplitudes(wf: Wavefunction, params: Params,
+                       state: SamplerState) -> SamplerState:
+    """Recomputes the cached (sign, log) for the current configs.
+
+    MUST be called whenever `params` changed since the cache was written
+    (epoch start, or after an in-epoch update step): Metropolis ratios
+    against a stale cache are not ratios of the current wavefunction and
+    silently freeze or randomize the chains.
+    """
+    amp = wf.apply(params, state.configs)
+    return state._replace(log_amp=amp.log, sign=amp.sign)
+
+
 def reset_stats(state: SamplerState) -> SamplerState:
     return state._replace(
         num_accepted=jnp.zeros_like(state.num_accepted),

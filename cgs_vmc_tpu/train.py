@@ -1,0 +1,175 @@
+"""Training drivers: ground-state optimization and supervised distillation.
+
+Functional re-design of the reference pipelines
+(cgs_vmc/run_training.py:73-160, cgs_vmc/run_supervised_training.py) around
+a single compiled epoch function: build ansatz + Hamiltonian + optimizer,
+jit (optionally shard_map over a chain-sharded mesh), then a thin Python
+loop of epoch calls with checkpointing and a metrics stream.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cgs_vmc_tpu import lattice, models
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import (
+    GROUND_STATE_OPTIMIZERS,
+    SUPERVISED_OPTIMIZERS,
+    TrainState,
+)
+from cgs_vmc_tpu.parallel import mesh as mesh_lib
+from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
+from cgs_vmc_tpu.utils.metrics import MetricsLogger
+
+
+def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
+    """Bond resolution mirrors run_training.py:103-109: J-file if present,
+    else 1-D periodic chain; jx/jz from config."""
+    j_file = config.j_file_path
+    if not j_file and config.checkpoint_dir:
+        candidate = os.path.join(config.checkpoint_dir, 'J.txt')
+        if os.path.exists(candidate):
+            j_file = candidate
+    if j_file:
+        bonds = lattice.load_bonds(j_file)
+    else:
+        bonds = lattice.bonds_for_config(config)
+    return HeisenbergHamiltonian(bonds, config.heisenberg_jx,
+                                 config.heisenberg_jz)
+
+
+def _make_epoch_fn(optimizer, state: TrainState, config: Config):
+    """Returns (epoch_fn, maybe_sharded_state).
+
+    num_devices == 1: plain jit, no collectives.
+    num_devices  > 1: shard_map over a 'chains' mesh with pmean'd moments.
+    """
+    if config.num_devices <= 1:
+        return jax.jit(optimizer.epoch), state
+
+    device_mesh = mesh_lib.make_mesh(config.num_devices)
+    _, metric_template = jax.eval_shape(optimizer.epoch, state)
+    fn = mesh_lib.sharded_epoch_fn(
+        optimizer.epoch, device_mesh, state, list(metric_template))
+    return fn, mesh_lib.shard_train_state(state, device_mesh)
+
+
+def _init_ground_state(config: Config, seed_offset: int = 0):
+    wf = models.build_wavefunction(config)
+    hamiltonian = build_hamiltonian(config)
+    opt_name = config.wavefunction_optimizer_type or 'ITSWO'
+    if opt_name not in GROUND_STATE_OPTIMIZERS:
+        raise ValueError(
+            f'Unknown ground-state optimizer {opt_name!r}; '
+            f'known: {sorted(GROUND_STATE_OPTIMIZERS)}')
+    optimizer = GROUND_STATE_OPTIMIZERS[opt_name](wf, hamiltonian, config)
+    key = jax.random.key(config.seed + seed_offset)
+    n_local = config.batch_size
+    state = optimizer.init_state(key, n_local)
+    return wf, hamiltonian, optimizer, state
+
+
+def train(config: Config, resume: bool = False,
+          logger: Optional[MetricsLogger] = None) -> TrainState:
+    """Ground-state optimization pipeline (reference run_training.py).
+
+    Saves config.json + rotating full-state checkpoints; appends per-epoch
+    metrics; returns the final TrainState.
+    """
+    wf, _, optimizer, state = _init_ground_state(config)
+    out_dir = config.checkpoint_dir
+    if out_dir:
+        ckpt_lib.save_config(out_dir, config)
+
+    start_epoch = 0
+    if resume and out_dir:
+        latest = ckpt_lib.latest_checkpoint(out_dir)
+        if latest:
+            state = ckpt_lib.restore_checkpoint(latest, state)
+            start_epoch = ckpt_lib.checkpoint_epoch(latest)
+            print(f'Resumed from {latest} (epoch {start_epoch})')
+
+    epoch_fn, state = _make_epoch_fn(optimizer, state, config)
+    logger = logger or MetricsLogger(out_dir)
+
+    for epoch in range(start_epoch, config.num_epochs):
+        if out_dir and epoch % config.checkpoint_frequency == 0:
+            ckpt_lib.save_checkpoint(out_dir, state, epoch,
+                                     config.max_checkpoints_to_keep)
+        state, metrics = epoch_fn(state)
+        logger.log(epoch + 1, metrics)
+
+    if out_dir:
+        ckpt_lib.save_checkpoint(out_dir, state, config.num_epochs,
+                                 config.max_checkpoints_to_keep)
+    return state
+
+
+def distill(config: Config, resume: bool = False,
+            target_params=None, target_wf=None,
+            logger: Optional[MetricsLogger] = None) -> TrainState:
+    """Supervised distillation pipeline (reference run_supervised_training):
+    load the supervisor's config + checkpoint from ``config.supervisor_dir``,
+    build the frozen target, train the student.
+
+    target_params/target_wf may be passed directly (tests, in-process use);
+    otherwise they are restored from supervisor_dir.
+    """
+    if target_wf is None or target_params is None:
+        sup_config = Config.load(
+            os.path.join(config.supervisor_dir, 'config.json'))
+        target_wf = models.build_wavefunction(sup_config)
+        latest = ckpt_lib.latest_checkpoint(config.supervisor_dir)
+        if latest is None:
+            raise FileNotFoundError(
+                f'No checkpoint in supervisor_dir {config.supervisor_dir!r}')
+        template = target_wf.init(jax.random.key(0))
+        # Supervisor checkpoints store a full TrainState; pull params out.
+        opt_name = sup_config.wavefunction_optimizer_type or 'ITSWO'
+        sup_ham = build_hamiltonian(sup_config)
+        sup_opt = GROUND_STATE_OPTIMIZERS[opt_name](
+            target_wf, sup_ham, sup_config)
+        sup_state = sup_opt.init_state(jax.random.key(0))
+        sup_state = ckpt_lib.restore_checkpoint(latest, sup_state)
+        target_params = sup_state.params
+        del template
+
+    wf = models.build_wavefunction(config)
+    opt_name = config.wavefunction_optimizer_type or 'SWO'
+    if opt_name not in SUPERVISED_OPTIMIZERS:
+        raise ValueError(
+            f'Unknown supervised optimizer {opt_name!r}; '
+            f'known: {sorted(SUPERVISED_OPTIMIZERS)}')
+    optimizer = SUPERVISED_OPTIMIZERS[opt_name](wf, target_wf, config)
+
+    key = jax.random.key(config.seed)
+    state = optimizer.init_state(key, target_params, config.batch_size)
+
+    out_dir = config.checkpoint_dir
+    if out_dir:
+        ckpt_lib.save_config(out_dir, config)
+
+    start_epoch = 0
+    if resume and out_dir:
+        latest = ckpt_lib.latest_checkpoint(out_dir)
+        if latest:
+            state = ckpt_lib.restore_checkpoint(latest, state)
+            start_epoch = ckpt_lib.checkpoint_epoch(latest)
+            print(f'Resumed from {latest} (epoch {start_epoch})')
+
+    epoch_fn, state = _make_epoch_fn(optimizer, state, config)
+    logger = logger or MetricsLogger(out_dir, primary='loss')
+
+    for epoch in range(start_epoch, config.num_epochs):
+        state, metrics = epoch_fn(state)
+        if out_dir and (epoch + 1) % config.checkpoint_frequency == 0:
+            ckpt_lib.save_checkpoint(out_dir, state, epoch + 1,
+                                     config.max_checkpoints_to_keep)
+        logger.log(epoch + 1, metrics)
+    return state

@@ -1,0 +1,122 @@
+"""Checkpointing: full train-state serialization with rotation.
+
+The reference checkpointed ONLY trainable variables via tf.train.Saver
+(max_to_keep=5) and silently dropped sampler state and the non-trainable
+norm shift on resume (cgs_vmc/run_training.py:134-139; SURVEY.md §5.4).
+Here the ENTIRE TrainState pytree — params, optimizer state, sampler
+configs/RNG/stats, epoch counter, optimizer extras — round-trips through
+flax.serialization msgpack, so a resumed run continues bit-exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+_CKPT_RE = re.compile(r'ckpt_epoch_(\d+)\.msgpack$')
+
+
+def _is_key_array(x) -> bool:
+    return isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key)
+
+
+def _encode_keys(tree: Any) -> Any:
+    """Typed PRNG key arrays -> raw uint32 key data (msgpack-friendly)."""
+    return jax.tree.map(
+        lambda x: {'__prng_key_data__': np.asarray(jax.random.key_data(x))}
+        if _is_key_array(x) else x,
+        tree, is_leaf=_is_key_array)
+
+
+def _decode_keys(tree: Any, template: Any) -> Any:
+    def restore(leaf_t, leaf):
+        if _is_key_array(leaf_t):
+            data = leaf['__prng_key_data__'] if isinstance(leaf, dict) \
+                else leaf
+            impl = jax.random.key_impl(leaf_t)
+            return jax.random.wrap_key_data(
+                jax.numpy.asarray(data), impl=impl)
+        return leaf
+    return jax.tree.map(restore, template, tree,
+                        is_leaf=lambda x: _is_key_array(x))
+
+
+def save_checkpoint(directory: str, state: Any, epoch: int,
+                    max_to_keep: int = 5) -> str:
+    """Writes ckpt_epoch_{epoch}.msgpack and rotates old checkpoints."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f'ckpt_epoch_{epoch}.msgpack')
+    host_state = jax.device_get(_encode_keys(state))
+    payload = serialization.to_bytes(host_state)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+    checkpoints = sorted(
+        ((int(_CKPT_RE.search(p).group(1)), p)
+         for p in glob.glob(os.path.join(directory, 'ckpt_epoch_*.msgpack'))
+         if _CKPT_RE.search(p)),
+    )
+    for _, old in checkpoints[:-max_to_keep] if max_to_keep else []:
+        os.remove(old)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    checkpoints = sorted(
+        ((int(_CKPT_RE.search(p).group(1)), p)
+         for p in glob.glob(os.path.join(directory, 'ckpt_epoch_*.msgpack'))
+         if _CKPT_RE.search(p)),
+    )
+    return checkpoints[-1][1] if checkpoints else None
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restores a state pytree saved by save_checkpoint.
+
+    `template` must be a structurally identical state (e.g. from
+    optimizer.init_state with the same config) providing shapes/dtypes.
+    """
+    with open(path, 'rb') as f:
+        payload = f.read()
+    encoded_template = jax.device_get(_encode_keys(template))
+    restored = serialization.from_bytes(encoded_template, payload)
+    return _decode_keys(restored, template)
+
+
+def save_params_only(directory: str, params: Any, name: str) -> str:
+    """Standalone parameter snapshot (the supervisor hand-off format:
+    the reference restored a fixed target from a different run's
+    checkpoint dir, cgs_vmc/run_supervised_training.py:125-127)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f'{name}.msgpack')
+    with open(path, 'wb') as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    return path
+
+
+def restore_params_only(path: str, template: Any) -> Any:
+    with open(path, 'rb') as f:
+        return serialization.from_bytes(jax.device_get(template), f.read())
+
+
+def save_config(directory: str, config) -> None:
+    os.makedirs(directory, exist_ok=True)
+    config.save(os.path.join(directory, 'config.json'))
+
+
+def checkpoint_epoch(path: str) -> int:
+    match = _CKPT_RE.search(path)
+    if not match:
+        raise ValueError(f'Not a checkpoint path: {path}')
+    return int(match.group(1))
