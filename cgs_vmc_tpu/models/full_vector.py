@@ -37,9 +37,27 @@ class FullVector(Wavefunction):
     def for_sector(cls, num_sites: int, initial_vector: np.ndarray,
                    n_up: int | None = None, name: str = 'full_vector'
                    ) -> 'FullVector':
-        """Builds Lin tables in-process (no table files needed)."""
+        """Builds Lin tables in-process (no table files needed).
+
+        `initial_vector` is given in `basis.enumerate_sz_basis` order (the
+        order the ED oracle and evaluators use) and is permuted into the
+        Lin-table's dense-index order internally.
+        """
+        import jax.numpy as jnp_local
         top, bot = basis_lib.make_lin_tables(num_sites, n_up)
-        return cls(num_sites, top, bot, initial_vector, name=name)
+        n_down = None if n_up is None else num_sites - n_up
+        states = basis_lib.enumerate_sz_basis(num_sites, n_down)
+        lin_idx = np.asarray(basis_lib.lin_index(
+            jnp_local.asarray(states), jnp_local.asarray(top),
+            jnp_local.asarray(bot)))
+        vector = np.asarray(initial_vector, np.float32)
+        if vector.shape[0] != states.shape[0]:
+            raise ValueError(
+                f'vector length {vector.shape[0]} != sector dimension '
+                f'{states.shape[0]}')
+        permuted = np.empty_like(vector)
+        permuted[lin_idx] = vector
+        return cls(num_sites, top, bot, permuted, name=name)
 
     def init(self, key: jax.Array) -> Params:
         del key

@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4.5: assert that chain-sharded training matches the
+single-device computation, and that the shard_map epoch compiles and runs
+with real collectives.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgs_vmc_tpu import lattice
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import EnergyGradientOptimizer, StochasticReconfiguration
+from cgs_vmc_tpu.parallel import mesh as mesh_lib
+
+N = 8
+JX = -1.0
+
+
+def _setup(batch_size, opt_cls=EnergyGradientOptimizer, **kwargs):
+    config = Config(
+        num_sites=N, wavefunction_type='rbm', num_fc_layers=1,
+        fc_layer_size=8, batch_size=batch_size, num_batches_per_epoch=2,
+        num_equilibration_sweeps=2, num_monte_carlo_sweeps=1,
+        heisenberg_jx=JX, seed=11, **kwargs)
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(lattice.chain_bonds(N), JX, 1.0)
+    return config, wf, opt_cls(wf, ham, config)
+
+
+def test_eight_fake_devices_present():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.parametrize('opt_cls',
+                         [EnergyGradientOptimizer, StochasticReconfiguration])
+def test_sharded_epoch_runs(opt_cls):
+    n_dev = 8
+    config, wf, opt = _setup(batch_size=4 * n_dev, opt_cls=opt_cls)
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    state = opt.init_state(jax.random.key(0), config.batch_size)
+    _, metric_shapes = jax.eval_shape(opt.epoch, state)
+    epoch_fn = mesh_lib.sharded_epoch_fn(
+        opt.epoch, device_mesh, state, list(metric_shapes))
+    state = mesh_lib.shard_train_state(state, device_mesh)
+    state, metrics = epoch_fn(state)
+    assert np.isfinite(float(metrics['energy']))
+    # Params replicated: every device holds identical values.
+    for leaf in jax.tree.leaves(state.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for shard in shards[1:]:
+            np.testing.assert_array_equal(shard, shards[0])
+
+
+def test_psum_moments_match_manual_gather():
+    """pmean'd energy across the mesh == numpy mean over all chains."""
+    n_dev = 8
+    config, wf, opt = _setup(batch_size=8 * n_dev)
+    ham = opt.hamiltonian
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    state = opt.init_state(jax.random.key(1), config.batch_size)
+    configs = state.sampler.configs
+
+    e_loc_global = np.asarray(
+        ham.local_value(wf, state.params, configs))
+    expected = e_loc_global.mean()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded_configs = jax.device_put(
+        configs, NamedSharding(device_mesh, P('chains', None)))
+    params = state.params
+
+    def local_mean(configs):
+        e_loc = ham.local_value(wf, params, configs)
+        return jax.lax.pmean(jnp.mean(e_loc), 'chains')
+
+    result = jax.jit(jax.shard_map(
+        local_mean, mesh=device_mesh,
+        in_specs=(P('chains', None),), out_specs=P(),
+        check_vma=False))(sharded_configs)
+    np.testing.assert_allclose(float(result), expected, rtol=1e-5)
+
+
+def test_sharded_gradient_matches_single_device():
+    """One epoch's parameter update on the mesh == the same computation on
+    one device when per-chain RNG streams and init coincide."""
+    n_dev = 4
+    config, wf, opt = _setup(batch_size=4 * n_dev)
+    state_single = opt.init_state(jax.random.key(2), config.batch_size)
+
+    # Single-device epoch.
+    new_single, metrics_single = jax.jit(opt.epoch)(state_single)
+
+    # Sharded epoch from the SAME initial state.
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    _, metric_shapes = jax.eval_shape(opt.epoch, state_single)
+    epoch_fn = mesh_lib.sharded_epoch_fn(
+        opt.epoch, device_mesh, state_single, list(metric_shapes))
+    state_sharded = mesh_lib.shard_train_state(state_single, device_mesh)
+    new_sharded, metrics_sharded = epoch_fn(state_sharded)
+
+    np.testing.assert_allclose(
+        float(metrics_sharded['energy']), float(metrics_single['energy']),
+        rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_single.params),
+                    jax.tree.leaves(new_sharded.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dryrun_multichip_entry():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', '/root/repo/__graft_entry__.py')
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    module.dryrun_multichip(8)

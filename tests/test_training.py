@@ -1,0 +1,106 @@
+"""Integration tests: short training runs against exact-diagonalization.
+
+Ground-state runs use the Marshall-rotated AFM Hamiltonian (j_x = -1) where
+the ground state is positive — the gauge the reference pipeline trains in
+(cgs_vmc/run_training.py:74-79 docstring).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from cgs_vmc_tpu import basis, lattice
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import FullVector, build_wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS, SUPERVISED_OPTIMIZERS
+from cgs_vmc_tpu.utils import ed
+from cgs_vmc_tpu.evaluate import evaluate_vector, overlap_with_vector
+
+N = 8
+JX = -1.0
+BONDS = lattice.chain_bonds(N)
+E0, V0 = ed.ground_state(N, BONDS, j_x=JX)
+
+
+def _config(**kwargs) -> Config:
+    defaults = dict(
+        num_sites=N,
+        wavefunction_type='rbm', num_fc_layers=1, fc_layer_size=16,
+        batch_size=128, num_batches_per_epoch=5,
+        num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+        learning_rates=[3e-3, 1e-3], learning_rate_stops=[60],
+        optimizer='adam', heisenberg_jx=JX, time_evolution_beta=0.12,
+        seed=7,
+    )
+    defaults.update(kwargs)
+    return Config(**defaults)
+
+
+def _run_ground_state(opt_name: str, epochs: int, config: Config):
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(BONDS, config.heisenberg_jx, 1.0)
+    opt = GROUND_STATE_OPTIMIZERS[opt_name](wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+    epoch_fn = jax.jit(opt.epoch)
+    energy = None
+    for _ in range(epochs):
+        state, metrics = epoch_fn(state)
+        energy = float(metrics['energy'])
+    return wf, state, energy, metrics
+
+
+@pytest.mark.slow
+def test_energy_gradient_converges_to_ed():
+    config = _config(learning_rates=[5e-3, 1e-3],
+                     learning_rate_stops=[120])
+    _, _, energy, metrics = _run_ground_state('EnergyGradient', 180, config)
+    assert abs(energy - E0) / abs(E0) < 0.03
+    assert float(metrics['acceptance_rate']) > 0.05
+
+
+@pytest.mark.slow
+def test_sr_converges_to_ed():
+    config = _config(optimizer='gradient',
+                     learning_rates=[0.05, 0.02],
+                     learning_rate_stops=[60],
+                     sr_diag_shift=1e-2)
+    _, _, energy, _ = _run_ground_state('SR', 60, config)
+    assert abs(energy - E0) / abs(E0) < 0.03
+
+
+@pytest.mark.slow
+def test_itswo_lowers_energy():
+    _, _, energy, _ = _run_ground_state('ITSWO', 80, _config())
+    assert energy < 0.6 * E0  # most of the way to the ground state
+    assert energy - E0 > -0.5  # not below the exact ground state
+
+
+@pytest.mark.slow
+def test_logoverlap_itswo_lowers_energy():
+    _, _, energy, _ = _run_ground_state('LogOverlapITSWO', 80, _config())
+    assert energy < 0.6 * E0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('opt_name', sorted(SUPERVISED_OPTIMIZERS))
+def test_supervised_distillation_reaches_high_overlap(opt_name):
+    """Distilling the exact ED target into an RBM must drive overlap -> 1
+    (SURVEY.md §4.4)."""
+    config = _config(
+        batch_size=64, num_batches_per_epoch=10,
+        learning_rates=[1e-2, 3e-3], learning_rate_stops=[40],
+        wavefunction_optimizer_type=opt_name)
+    target_wf = FullVector.for_sector(N, np.abs(V0).astype(np.float32))
+    target_params = target_wf.init(jax.random.key(0))
+    wf = build_wavefunction(config)
+    opt = SUPERVISED_OPTIMIZERS[opt_name](wf, target_wf, config)
+    state = opt.init_state(jax.random.key(3), target_params,
+                           config.batch_size)
+    epoch_fn = jax.jit(opt.epoch)
+    for _ in range(60):
+        state, metrics = epoch_fn(state)
+    psi = evaluate_vector(wf, state.params, config,
+                          basis_array=basis.enumerate_sz_basis(N))
+    fidelity = overlap_with_vector(psi, np.abs(V0))
+    assert fidelity > 0.97, f'{opt_name}: overlap {fidelity}'
