@@ -4,12 +4,16 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Measured quantity: full Metropolis exchange sweeps/second/chip — one sweep
-= n_sites proposals per chain, each proposal a full conv-CGS amplitude
-evaluation — with 2048 parallel chains on the 6x6 lattice (flagship
-benchmark config #4).  vs_baseline compares against the reference's
-structural throughput ceiling: one session.run round-trip per single-pair
-move (cgs_vmc/graph_builders.py:38-89, SURVEY.md §3.1), generously assumed
-at 1 ms/dispatch => ~27.8 sweeps/sec at 36 sites regardless of chain count.
+= n_sites sequential proposals per chain, each proposal a full conv-CGS
+amplitude evaluation over all chains — with 2048 parallel chains on the
+6x6 lattice (flagship benchmark config #4), bf16 conv compute / f32
+accumulate.  Work is verified via the sampler's proposal counters; timing
+is the best of several fully-blocked repetitions.
+
+vs_baseline compares against the reference's structural throughput
+ceiling: one session.run round-trip per single-pair move
+(cgs_vmc/graph_builders.py:38-89, SURVEY.md §3.1), generously assumed at
+1 ms/dispatch => ~27.8 sweeps/sec at 36 sites regardless of chain count.
 """
 
 import json
@@ -17,7 +21,6 @@ import time
 
 import jax
 
-from cgs_vmc_tpu import lattice
 from cgs_vmc_tpu.config import Config
 from cgs_vmc_tpu.models import build_wavefunction
 from cgs_vmc_tpu.sampler import metropolis
@@ -37,24 +40,28 @@ def main():
     state = metropolis.init_sampler(
         jax.random.key(1), wf, params, n_sites, n_chains)
 
-    sweeps_per_call = 10
-
-    def run(state):
-        return metropolis.jitted_sweeps(wf, params, state, sweeps_per_call)
+    sweeps_per_call = 20
+    run = jax.jit(lambda s: metropolis.run_sweeps(
+        wf, params, s, sweeps_per_call))
 
     # Warmup / compile.
     state = run(state)
-    jax.block_until_ready(state.configs)
+    jax.block_until_ready(state)
+    proposals_before = float(state.num_proposed.sum())
 
-    n_calls = 5
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
         state = run(state)
-    jax.block_until_ready(state.configs)
-    elapsed = time.perf_counter() - t0
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
 
-    total_sweeps = sweeps_per_call * n_calls
-    sweeps_per_sec = total_sweeps / elapsed
+    proposals_after = float(state.num_proposed.sum())
+    expected = 3 * sweeps_per_call * n_sites * n_chains
+    assert proposals_after - proposals_before == expected, (
+        proposals_after, proposals_before, expected)
+
+    sweeps_per_sec = sweeps_per_call / best
 
     # Reference ceiling: 1 session.run per move, ~1 ms/dispatch =>
     # 1000/36 sweeps/sec independent of chain count (SURVEY.md §3.1).

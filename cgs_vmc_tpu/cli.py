@@ -33,8 +33,12 @@ def _add_common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--seed', type=int, default=None)
 
 
-def _build_config(args: argparse.Namespace, default_optimizer: str) -> Config:
-    config = Config.load(args.config) if args.config else Config()
+def _build_config(args: argparse.Namespace, default_optimizer: str,
+                  base: Config | None = None) -> Config:
+    if base is not None:
+        config = base
+    else:
+        config = Config.load(args.config) if args.config else Config()
     updates = {}
     if args.checkpoint_dir:
         updates['checkpoint_dir'] = args.checkpoint_dir
@@ -105,10 +109,11 @@ def main(argv=None) -> int:
         # run_energy_evaluation.py:45-47 reread hparams.pbtxt).
         run_dir = args.checkpoint_dir
         config_path = args.config or os.path.join(run_dir, 'config.json')
-        args.config = ''
-        config = Config.load(config_path)
-        config = _build_config(args, default_optimizer=(
-            config.wavefunction_optimizer_type or 'ITSWO'))
+        loaded = Config.load(config_path)
+        config = _build_config(
+            args,
+            default_optimizer=(loaded.wavefunction_optimizer_type or 'ITSWO'),
+            base=loaded)
         config = config.replace(checkpoint_dir=run_dir)
 
         wf = models.build_wavefunction(config)

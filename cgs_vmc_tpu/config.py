@@ -90,6 +90,9 @@ class Config:
     # TPU-native additions (not present in the reference).
     # ------------------------------------------------------------------
     seed: int = 42
+    # Reduced-precision compute for conv ansatzes ('float32' | 'bfloat16');
+    # weights/optimizer state stay f32, conv accumulation is f32.
+    compute_dtype: str = 'float32'
     # Hamiltonian (the reference took jx from a CLI flag and jz was fixed
     # to 1.0, cgs_vmc/run_training.py:27-29,112-113).
     heisenberg_jx: float = 1.0

@@ -25,6 +25,7 @@ class Conv1DNetwork(Wavefunction):
 
     def __init__(self, num_layers: int, num_filters: int, kernel_size: int,
                  nonlinearity: str = 'relu', output_activation: str = 'exp',
+                 compute_dtype: str = 'float32',
                  name: str = 'conv_1d_network'):
         self.name = name
         self.num_layers = num_layers
@@ -32,6 +33,7 @@ class Conv1DNetwork(Wavefunction):
         self.kernel_size = kernel_size
         self.nonlinearity = nonlinearity
         self.output_activation = output_activation
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
     def init(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, self.num_layers)
@@ -48,12 +50,15 @@ class Conv1DNetwork(Wavefunction):
 
     def apply(self, params: Params, configs: jax.Array) -> LogAmp:
         act = logamp.ACTIVATIONS[self.nonlinearity]
-        h = configs[..., None]  # [batch, n_sites, 1]
+        # Convs run in compute_dtype (bf16 on TPU hits the MXU at full
+        # rate) with f32 accumulation inside the conv and f32 reduction.
+        h = configs[..., None].astype(self.compute_dtype)
         for i in range(self.num_layers):
-            h = nn.conv1d_periodic_apply(params[f'conv_{i}'], h)
+            layer = nn.cast_params(params[f'conv_{i}'], self.compute_dtype)
+            h = nn.conv1d_periodic_apply(layer, h)
             if i + 1 != self.num_layers:
-                h = act(h)
-        pre = jnp.sum(h, axis=(1, 2))
+                h = act(h).astype(self.compute_dtype)
+        pre = jnp.sum(h.astype(jnp.float32), axis=(1, 2))
         return logamp.apply_activation(pre, self.output_activation)
 
     @classmethod
@@ -64,6 +69,7 @@ class Conv1DNetwork(Wavefunction):
             kernel_size=config.kernel_size,
             nonlinearity=config.nonlinearity,
             output_activation=config.output_activation,
+            compute_dtype=config.compute_dtype,
         )
         if name:
             kwargs['name'] = name
@@ -77,7 +83,9 @@ class Conv2DNetwork(Wavefunction):
 
     def __init__(self, num_layers: int, num_filters: int, kernel_size: int,
                  size_x: int, size_y: int, nonlinearity: str = 'relu',
-                 output_activation: str = 'exp', name: str = 'conv_2d_network'):
+                 output_activation: str = 'exp',
+                 compute_dtype: str = 'float32',
+                 name: str = 'conv_2d_network'):
         self.name = name
         self.num_layers = num_layers
         self.num_filters = num_filters
@@ -86,6 +94,7 @@ class Conv2DNetwork(Wavefunction):
         self.size_y = size_y
         self.nonlinearity = nonlinearity
         self.output_activation = output_activation
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
     def init(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, self.num_layers)
@@ -103,11 +112,13 @@ class Conv2DNetwork(Wavefunction):
     def apply(self, params: Params, configs: jax.Array) -> LogAmp:
         act = logamp.ACTIVATIONS[self.nonlinearity]
         h = configs.reshape(-1, self.size_x, self.size_y, 1)
+        h = h.astype(self.compute_dtype)
         for i in range(self.num_layers):
-            h = nn.conv2d_periodic_apply(params[f'conv_{i}'], h)
+            layer = nn.cast_params(params[f'conv_{i}'], self.compute_dtype)
+            h = nn.conv2d_periodic_apply(layer, h)
             if i + 1 != self.num_layers:
-                h = act(h)
-        pre = jnp.sum(h, axis=(1, 2, 3))
+                h = act(h).astype(self.compute_dtype)
+        pre = jnp.sum(h.astype(jnp.float32), axis=(1, 2, 3))
         return logamp.apply_activation(pre, self.output_activation)
 
     @classmethod
@@ -120,6 +131,7 @@ class Conv2DNetwork(Wavefunction):
             size_y=config.size_y,
             nonlinearity=config.nonlinearity,
             output_activation=config.output_activation,
+            compute_dtype=config.compute_dtype,
         )
         if name:
             kwargs['name'] = name

@@ -242,6 +242,15 @@ def graph_conv_apply(params: dict, x: jax.Array, adj: jax.Array) -> jax.Array:
     return out + params['b']
 
 
+def cast_params(params: dict, dtype) -> dict:
+    """Casts a layer's params for reduced-precision compute (weights stay
+    f32 in the train state; the cast happens at apply time so optimizer
+    math and checkpoints remain full precision)."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
 def log_cosh(x: jax.Array) -> jax.Array:
     """Numerically stable log(cosh(x)) (RBM hidden-unit free energy)."""
     ax = jnp.abs(x)

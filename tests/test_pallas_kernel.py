@@ -1,0 +1,125 @@
+"""Tests for the fused Pallas RBM sweep kernel (TPU interpreter on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgs_vmc_tpu import basis
+from cgs_vmc_tpu.sampler import kernels
+
+N = 8
+H = 16
+CHAINS = 32
+
+
+def _rbm_params(key, scale=0.3):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = scale * jax.random.normal(k1, (N, H), jnp.float32)
+    b = scale * jax.random.normal(k2, (H,), jnp.float32)
+    a = scale * jax.random.normal(k3, (N,), jnp.float32)
+    return w, b, a
+
+
+def _log_psi(w, b, a, configs):
+    theta = configs @ w + b
+    ax = jnp.abs(theta)
+    log_cosh = ax + jnp.log1p(jnp.exp(-2 * ax)) - jnp.log(2.0)
+    return configs @ a + jnp.sum(log_cosh, axis=-1)
+
+
+def _run(w, b, a, configs, pairs, key):
+    return kernels.rbm_sweeps(w, b, a, configs, pairs, key,
+                              block_chains=CHAINS, interpret=True)
+
+
+def test_kernel_matches_reference_exactly():
+    """Same pairs + same uniforms => identical trajectories (the kernel's
+    incremental updates vs the oracle's full recomputation)."""
+    w, b, a = _rbm_params(jax.random.key(0))
+    configs = basis.random_configurations(jax.random.key(1), N, CHAINS)
+    pairs = kernels.sample_pairs(jax.random.key(2), 64, N)
+    key = jax.random.key(3)
+
+    out = _run(w, b, a, configs, pairs, key)
+    ref = kernels.rbm_sweeps_reference(w, b, a, configs, pairs, key)
+
+    np.testing.assert_array_equal(np.asarray(out.configs),
+                                  np.asarray(ref.configs))
+    np.testing.assert_array_equal(np.asarray(out.num_accepted),
+                                  np.asarray(ref.num_accepted))
+    np.testing.assert_allclose(np.asarray(out.log_amp),
+                               np.asarray(ref.log_amp), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_theta_and_logamp_caches_consistent():
+    """Incremental θ/logψ updates must equal full recomputation."""
+    w, b, a = _rbm_params(jax.random.key(4))
+    configs = basis.random_configurations(jax.random.key(5), N, CHAINS)
+    pairs = kernels.sample_pairs(jax.random.key(6), 64, N)
+    out = _run(w, b, a, configs, pairs, jax.random.key(7))
+
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(out.configs @ w + b),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.log_amp),
+        np.asarray(_log_psi(w, b, a, out.configs)),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_moves_conserve_sz():
+    w, b, a = _rbm_params(jax.random.key(8))
+    configs = basis.random_configurations(jax.random.key(9), N, CHAINS)
+    pairs = kernels.sample_pairs(jax.random.key(10), 100, N)
+    out = _run(w, b, a, configs, pairs, jax.random.key(11))
+    arr = np.asarray(out.configs)
+    assert set(np.unique(arr)) <= {-1.0, 1.0}
+    np.testing.assert_array_equal(arr.sum(axis=1), np.zeros(CHAINS))
+
+
+def test_always_reject():
+    """A deeply peaked wavefunction rejects every move away from the
+    current configs: state must be unchanged."""
+    w = jnp.zeros((N, H))
+    b = jnp.zeros((H,))
+    configs = basis.random_configurations(jax.random.key(12), N, CHAINS)
+    a = 50.0 * configs[0]
+    same = jnp.tile(configs[0][None, :], (CHAINS, 1))
+    pairs = kernels.sample_pairs(jax.random.key(13), 50, N)
+    out = _run(w, b, a, same, pairs, jax.random.key(14))
+    np.testing.assert_array_equal(np.asarray(out.configs), np.asarray(same))
+    assert float(out.num_accepted.sum()) == 0.0
+
+
+@pytest.mark.slow
+def test_kernel_samples_born_distribution():
+    """Kernel chains sample |ψ|² of the RBM (TV distance vs exact)."""
+    w, b, a = _rbm_params(jax.random.key(15), scale=0.15)
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    log_psi = _log_psi(w, b, a, states)
+    exact = np.exp(2 * np.asarray(log_psi - log_psi.max(), np.float64))
+    exact /= exact.sum()
+
+    chains = 256
+    configs = basis.random_configurations(jax.random.key(16), N, chains)
+    top, bot = basis.make_lin_tables(N)
+    top, bot = jnp.asarray(top), jnp.asarray(bot)
+    lin_of_enum = np.asarray(basis.lin_index(states, top, bot))
+    enum_of_lin = np.empty_like(lin_of_enum)
+    enum_of_lin[lin_of_enum] = np.arange(len(lin_of_enum))
+
+    counts = np.zeros(states.shape[0])
+    for it in range(50):
+        pairs = kernels.sample_pairs(jax.random.key(2 * it), 2 * N, N)
+        out = kernels.rbm_sweeps(w, b, a, configs, pairs,
+                                 jax.random.key(2 * it + 1),
+                                 block_chains=chains, interpret=True)
+        configs = out.configs
+        if it >= 10:  # discard equilibration
+            idx = np.asarray(basis.lin_index(configs, top, bot))
+            np.add.at(counts, enum_of_lin[idx], 1)
+    empirical = counts / counts.sum()
+    tv = 0.5 * np.abs(empirical - exact).sum()
+    assert tv < 0.08, f'TV distance {tv} too large'

@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests: train -> resume -> eval -> distill, via files.
+
+Exercises the same flows as the reference binaries (run_training.py,
+run_supervised_training.py, run_energy_evaluation.py) through the library
+API and the CLI entry point.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from cgs_vmc_tpu import lattice
+from cgs_vmc_tpu.cli import main as cli_main
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
+from cgs_vmc_tpu.evaluate import evaluate_operator
+from cgs_vmc_tpu.train import distill, train
+from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
+from cgs_vmc_tpu.utils import ed
+
+N = 8
+
+
+def _config(tmp_path, **kwargs) -> Config:
+    defaults = dict(
+        checkpoint_dir=str(tmp_path / 'run'),
+        num_sites=N,
+        wavefunction_type='rbm', num_fc_layers=1, fc_layer_size=12,
+        wavefunction_optimizer_type='EnergyGradient',
+        batch_size=64, num_batches_per_epoch=4,
+        num_equilibration_sweeps=3, num_monte_carlo_sweeps=1,
+        num_epochs=6, checkpoint_frequency=2,
+        learning_rates=[3e-3, 1e-3], learning_rate_stops=[40],
+        heisenberg_jx=-1.0, seed=3,
+        num_evaluation_samples=20,
+    )
+    defaults.update(kwargs)
+    return Config(**defaults)
+
+
+@pytest.mark.slow
+def test_train_checkpoints_metrics_and_resume(tmp_path):
+    config = _config(tmp_path)
+    state = train(config)
+    run_dir = config.checkpoint_dir
+
+    assert os.path.exists(os.path.join(run_dir, 'config.json'))
+    assert ckpt_lib.latest_checkpoint(run_dir) is not None
+    metrics_lines = open(os.path.join(run_dir, 'metrics.jsonl')).readlines()
+    assert len(metrics_lines) == config.num_epochs
+    record = json.loads(metrics_lines[-1])
+    assert 'energy' in record and 'acceptance_rate' in record
+    assert os.path.exists(os.path.join(run_dir, 'metrics.txt'))
+
+    # Resume continues from the saved epoch counter.
+    config2 = config.replace(num_epochs=config.num_epochs + 2)
+    state2 = train(config2, resume=True)
+    assert int(state2.epoch) == config.num_epochs + 2
+    del state
+
+
+@pytest.mark.slow
+def test_eval_after_train(tmp_path):
+    config = _config(tmp_path, num_epochs=4)
+    state = train(config)
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(lattice.chain_bonds(N), -1.0, 1.0)
+    result = evaluate_operator(wf, state.params, ham, config,
+                               key=jax.random.key(1))
+    e0, _ = ed.ground_state(N, lattice.chain_bonds(N), j_x=-1.0)
+    # 4 epochs of training: just sanity — finite, below zero, above E0.
+    assert e0 - 1.0 < result.mean < 0.5
+    assert np.isfinite(result.error)
+
+
+@pytest.mark.slow
+def test_distill_from_supervisor_dir(tmp_path):
+    sup_config = _config(tmp_path, num_epochs=4)
+    sup_config = sup_config.replace(
+        checkpoint_dir=str(tmp_path / 'supervisor'))
+    train(sup_config)
+
+    student_config = _config(
+        tmp_path,
+        wavefunction_type='fully_connected',
+        wavefunction_optimizer_type='SWO',
+        num_epochs=3,
+    )
+    student_config = student_config.replace(
+        checkpoint_dir=str(tmp_path / 'student'),
+        supervisor_dir=sup_config.checkpoint_dir)
+    state = distill(student_config)
+    assert int(state.epoch) == 3
+    assert ckpt_lib.latest_checkpoint(student_config.checkpoint_dir)
+
+
+@pytest.mark.slow
+def test_cli_train_and_eval(tmp_path, capsys):
+    run_dir = str(tmp_path / 'cli_run')
+    rc = cli_main([
+        'train',
+        '--checkpoint_dir', run_dir,
+        '--num_sites', str(N),
+        '--num_epochs', '3',
+        '--wavefunction_type', 'rbm',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'num_fc_layers=1,fc_layer_size=8,batch_size=32,'
+        'num_batches_per_epoch=2,num_equilibration_sweeps=2',
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, 'config.json'))
+
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--override', 'num_evaluation_samples=10'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'Energy:' in out and '+/-' in out
