@@ -1,0 +1,69 @@
+"""High-level adapter: fused Pallas sweeps for pure-RBM wavefunctions.
+
+Bridges the generic SamplerState world (sampler/metropolis.py) and the
+Pallas kernel (sampler/kernels.py).  Applicable when the ansatz is a
+RestrictedBoltzmannNetwork with num_layers == 0 (the classic NQS RBM) —
+exactly the regime where the O(hidden) incremental update beats the
+generic full-forward sampler by ~n_sites×.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cgs_vmc_tpu.models.base import Params
+from cgs_vmc_tpu.models.feedforward import RestrictedBoltzmannNetwork
+from cgs_vmc_tpu.sampler import kernels
+from cgs_vmc_tpu.sampler.metropolis import SamplerState
+
+
+def supports(wf) -> bool:
+    """True when `wf` admits the fused kernel (pure RBM, no feature MLP)."""
+    return (isinstance(wf, RestrictedBoltzmannNetwork)
+            and wf.num_layers == 0)
+
+
+def _unpack(params: Params):
+    w = params['hidden']['w']            # [n_sites, hidden]
+    b = params['hidden']['b']            # [hidden]
+    a = params['onsite']['w'][:, 0]      # [n_sites]
+    return w, b, a
+
+
+def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int,
+               interpret: bool = False) -> SamplerState:
+    """Drop-in replacement for metropolis.run_sweeps on pure-RBM ansatzes.
+
+    One sweep = n_sites shared-pair proposals (see kernels.py for the
+    proposal-schedule semantics).  The visible bias `b` of the onsite head
+    contributes a configuration-independent constant (Sz is conserved)
+    and is folded into log_amp exactly.
+    """
+    if not supports(wf):
+        raise ValueError('fast_rbm sampler requires a pure RBM '
+                         '(RestrictedBoltzmannNetwork with num_layers=0)')
+    if num_sweeps <= 0:
+        return state
+    n_chains, n_sites = state.configs.shape
+    w, b, a = _unpack(params)
+
+    key0 = state.keys[0]
+    k_pairs, k_accept, k_next = jax.random.split(key0, 3)
+    pairs = kernels.sample_pairs(k_pairs, num_sweeps * n_sites, n_sites)
+    out = kernels.rbm_sweeps(w, b, a, state.configs, pairs, k_accept,
+                             block_chains=n_chains, interpret=interpret)
+
+    # The onsite head's scalar bias adds a constant to every logψ; the
+    # kernel tracks configs@a + Σ logcosh, so add it back here so the
+    # cache matches wf.apply exactly.
+    onsite_bias = params['onsite']['b'][0]
+    new_keys = state.keys.at[0].set(k_next)
+    return SamplerState(
+        configs=out.configs,
+        log_amp=out.log_amp + onsite_bias,
+        sign=jnp.ones_like(out.log_amp),
+        keys=new_keys,
+        num_accepted=state.num_accepted + out.num_accepted,
+        num_proposed=state.num_proposed + float(num_sweeps * n_sites),
+    )

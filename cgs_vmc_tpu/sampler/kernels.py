@@ -55,56 +55,55 @@ def _sweep_kernel(pairs_ref,                          # scalar prefetch
                   configs_ref, theta_ref, logamp_ref,
                   w_ref, a_ref, log_u_ref,
                   out_configs, out_theta, out_logamp, out_accepted):
-    """One grid step = one chain block; full multi-sweep loop inside."""
-    n_steps = pairs_ref.shape[0]
-    n_chains = configs_ref.shape[0]
+    """One grid step = one chain block; full multi-sweep loop inside.
 
-    w = w_ref[:]
-    a_row = a_ref[:]          # [1, n_sites]
+    Layout: configs are [n_sites, chains] (sites on sublanes, chains on
+    lanes) so the per-step dynamic site indexing is a sublane-dimension
+    ref slice — the fast, supported Mosaic path.  theta/logψ are carried
+    as loop values; the config ref is updated in place.
+    """
+    n_steps = log_u_ref.shape[0]
+    n_chains = theta_ref.shape[0]
+
+    out_configs[:] = configs_ref[:]
 
     def step(t, carry):
-        configs, theta, log_amp, accepted = carry
+        theta, log_amp, accepted = carry
         i = pairs_ref[t, 0]
         j = pairs_ref[t, 1]
 
-        s_i = configs[:, i]                       # [chains]
-        s_j = configs[:, j]
-        flip = s_j - s_i                          # ±2 where exchangeable
+        s_i = out_configs[pl.ds(i, 1), :]         # [1, chains]
+        s_j = out_configs[pl.ds(j, 1), :]
+        flip = (s_j - s_i)[0]                     # [chains]; ±2 if active
         active = flip != 0.0
 
-        w_i = jax.lax.dynamic_slice_in_dim(w, i, 1, axis=0)  # [1, hidden]
-        w_j = jax.lax.dynamic_slice_in_dim(w, j, 1, axis=0)
+        w_i = w_ref[pl.ds(i, 1), :]               # [1, hidden]
+        w_j = w_ref[pl.ds(j, 1), :]
         d_w = (w_i - w_j)[0]                      # [hidden]
         theta_new = theta + flip[:, None] * d_w[None, :]
 
-        a_i = a_row[0, i]
-        a_j = a_row[0, j]
+        a_i = a_ref[0, i]
+        a_j = a_ref[0, j]
         d_onsite = flip * (a_i - a_j)
         d_log = d_onsite + jnp.sum(
             _log_cosh(theta_new) - _log_cosh(theta), axis=-1)
 
-        log_u = log_u_ref[t, :]                   # [chains]
-        accept = jnp.logical_and(active, 2.0 * d_log > log_u)
+        log_u = log_u_ref[pl.ds(t, 1), :][0]      # [chains]
+        # f32 mask arithmetic: Mosaic cannot reshape/broadcast i1 vectors
+        # along the minor dim, and select == lerp-by-mask here anyway.
+        acc = (jnp.logical_and(active, 2.0 * d_log > log_u)
+               ).astype(jnp.float32)              # [chains]
 
-        # Apply the exchange on accepted chains (one-hot arithmetic: no
-        # scatters, matches the proposal's construction exactly).
-        col_ids = jax.lax.broadcasted_iota(
-            jnp.int32, configs.shape, dimension=1)
-        on_pair = jnp.logical_or(col_ids == i, col_ids == j)
-        swapped = jnp.where(
-            col_ids == i, s_j[:, None],
-            jnp.where(col_ids == j, s_i[:, None], configs))
-        configs = jnp.where(
-            jnp.logical_and(accept[:, None], on_pair), swapped, configs)
-        theta = jnp.where(accept[:, None], theta_new, theta)
-        log_amp = jnp.where(accept, log_amp + d_log, log_amp)
-        accepted = accepted + accept.astype(jnp.float32)
-        return configs, theta, log_amp, accepted
+        acc_row = acc[None, :]
+        out_configs[pl.ds(i, 1), :] = s_i + acc_row * (s_j - s_i)
+        out_configs[pl.ds(j, 1), :] = s_j + acc_row * (s_i - s_j)
+        theta = theta + acc[:, None] * (theta_new - theta)
+        log_amp = log_amp + acc * d_log
+        accepted = accepted + acc
+        return theta, log_amp, accepted
 
-    init = (configs_ref[:], theta_ref[:], logamp_ref[:],
-            jnp.zeros((n_chains,), jnp.float32))
-    configs, theta, log_amp, accepted = lax.fori_loop(0, n_steps, step, init)
-    out_configs[:] = configs
+    init = (theta_ref[:], logamp_ref[:], jnp.zeros((n_chains,), jnp.float32))
+    theta, log_amp, accepted = lax.fori_loop(0, n_steps, step, init)
     out_theta[:] = theta
     out_logamp[:] = log_amp
     out_accepted[:] = accepted
@@ -140,13 +139,14 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     log_amp = onsite + jnp.sum(_log_cosh(theta), axis=-1)
     log_u = jnp.log(jax.random.uniform(key, (n_steps, n_chains),
                                        jnp.float32))
+    configs_t = configs.T                      # [n_sites, chains]
 
     grid = (n_chains // block_chains,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_chains, n_sites), lambda g, *_: (g, 0),
+            pl.BlockSpec((n_sites, block_chains), lambda g, *_: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_chains, hidden), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -155,12 +155,12 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
             pl.BlockSpec((n_sites, hidden), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_sites), lambda g, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((n_steps, block_chains), lambda g, *_: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_chains, n_sites), lambda g, *_: (g, 0),
+            pl.BlockSpec((n_sites, block_chains), lambda g, *_: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_chains, hidden), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -172,19 +172,20 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((n_chains, n_sites), jnp.float32),
+        jax.ShapeDtypeStruct((n_sites, n_chains), jnp.float32),
         jax.ShapeDtypeStruct((n_chains, hidden), jnp.float32),
         jax.ShapeDtypeStruct((n_chains,), jnp.float32),
         jax.ShapeDtypeStruct((n_chains,), jnp.float32),
     ]
     # bool interpret=True selects the TPU-semantics interpreter.
     interpret_mode = pltpu.InterpretParams() if interpret else False
-    new_configs, new_theta, new_logamp, accepted = pl.pallas_call(
+    new_configs_t, new_theta, new_logamp, accepted = pl.pallas_call(
         _sweep_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret_mode,
-    )(pairs, configs, theta, log_amp, w, a.reshape(1, n_sites), log_u)
+    )(pairs, configs_t, theta, log_amp, w, a.reshape(1, n_sites), log_u)
+    new_configs = new_configs_t.T
 
     return RbmSweepResult(new_configs, new_theta, new_logamp, accepted)
 

@@ -1,0 +1,51 @@
+"""Tests for the fast-RBM sampler adapter."""
+
+import numpy as np
+import jax
+import pytest
+
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.sampler import fast_rbm, metropolis
+
+N = 8
+
+
+def _pure_rbm():
+    config = Config(num_sites=N, wavefunction_type='rbm',
+                    num_fc_layers=0, fc_layer_size=16)
+    wf = build_wavefunction(config)
+    return wf, wf.init(jax.random.key(0))
+
+
+def test_supports():
+    wf, _ = _pure_rbm()
+    assert fast_rbm.supports(wf)
+    config = Config(num_sites=N, wavefunction_type='rbm',
+                    num_fc_layers=2, fc_layer_size=16)
+    assert not fast_rbm.supports(build_wavefunction(config))
+    config = Config(num_sites=N, wavefunction_type='fully_connected')
+    assert not fast_rbm.supports(build_wavefunction(config))
+
+
+def test_cache_matches_model_apply():
+    wf, params = _pure_rbm()
+    state = metropolis.init_sampler(jax.random.key(1), wf, params, N, 32)
+    state = fast_rbm.run_sweeps(wf, params, state, 5, interpret=True)
+    amp = wf.apply(params, state.configs)
+    np.testing.assert_allclose(np.asarray(state.log_amp),
+                               np.asarray(amp.log), rtol=1e-4, atol=1e-4)
+    configs = np.asarray(state.configs)
+    assert set(np.unique(configs)) <= {-1.0, 1.0}
+    np.testing.assert_array_equal(configs.sum(axis=1), np.zeros(32))
+    assert float(state.num_proposed[0]) == 5 * N
+
+
+def test_stats_accumulate():
+    wf, params = _pure_rbm()
+    state = metropolis.init_sampler(jax.random.key(2), wf, params, N, 16)
+    state = fast_rbm.run_sweeps(wf, params, state, 2, interpret=True)
+    state = fast_rbm.run_sweeps(wf, params, state, 3, interpret=True)
+    assert float(state.num_proposed[0]) == 5 * N
+    rate = float(metropolis.acceptance_rate(state))
+    assert 0.0 <= rate <= 1.0
