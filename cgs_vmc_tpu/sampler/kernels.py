@@ -133,11 +133,21 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     if n_chains % block_chains:
         raise ValueError(f'chains {n_chains} % block {block_chains} != 0')
     n_steps = pairs.shape[0]
+    # One kernel invocation handles one sweep's worth of steps; longer runs
+    # scan over invocations (keeps Mosaic compile time flat and the
+    # uniforms block within VMEM budget).  Pad to a whole number of chunks
+    # with no-op steps (i == j exchanges are masked inactive).
+    chunk = min(n_steps, max(n_sites, 8))
+    n_chunks = -(-n_steps // chunk)
+    pad = n_chunks * chunk - n_steps
+    if pad:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((pad, 2), jnp.int32)], axis=0)
 
     theta = configs @ w + b                    # [chains, hidden]
     onsite = configs @ a                       # [chains]
     log_amp = onsite + jnp.sum(_log_cosh(theta), axis=-1)
-    log_u = jnp.log(jax.random.uniform(key, (n_steps, n_chains),
+    log_u = jnp.log(jax.random.uniform(key, (n_chunks * chunk, n_chains),
                                        jnp.float32))
     configs_t = configs.T                      # [n_sites, chains]
 
@@ -156,7 +166,7 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_sites), lambda g, *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_steps, block_chains), lambda g, *_: (0, g),
+            pl.BlockSpec((chunk, block_chains), lambda g, *_: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -179,13 +189,31 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     ]
     # bool interpret=True selects the TPU-semantics interpreter.
     interpret_mode = pltpu.InterpretParams() if interpret else False
-    new_configs_t, new_theta, new_logamp, accepted = pl.pallas_call(
+    kernel_call = pl.pallas_call(
         _sweep_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret_mode,
-    )(pairs, configs_t, theta, log_amp, w, a.reshape(1, n_sites), log_u)
+    )
+    a_row = a.reshape(1, n_sites)
+
+    def chunk_step(carry, inputs):
+        configs_t, theta, log_amp, accepted = carry
+        pairs_chunk, log_u_chunk = inputs
+        configs_t, theta, log_amp, acc = kernel_call(
+            pairs_chunk, configs_t, theta, log_amp, w, a_row, log_u_chunk)
+        return (configs_t, theta, log_amp, accepted + acc), None
+
+    xs = (pairs.reshape(n_chunks, chunk, 2),
+          log_u.reshape(n_chunks, chunk, n_chains))
+    init = (configs_t, theta, log_amp, jnp.zeros((n_chains,), jnp.float32))
+    (new_configs_t, new_theta, new_logamp, accepted), _ = lax.scan(
+        chunk_step, init, xs)
     new_configs = new_configs_t.T
+    # Recompute the caches from the final configs: one matmul removes all
+    # accumulated f32 drift from thousands of incremental updates.
+    new_theta = new_configs @ w + b
+    new_logamp = new_configs @ a + jnp.sum(_log_cosh(new_theta), axis=-1)
 
     return RbmSweepResult(new_configs, new_theta, new_logamp, accepted)
 
