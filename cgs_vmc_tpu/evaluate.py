@@ -56,7 +56,12 @@ def evaluate_operator(
     state: Optional[metropolis.SamplerState] = None,
 ) -> EvalResult:
     """MC expectation <O> = mean(O_loc) with binned error bars
-    (reference evaluation.py:74-152 + run_energy_evaluation.py:63-88)."""
+    (reference evaluation.py:74-152 + run_energy_evaluation.py:63-88).
+
+    With config.num_devices > 1 the chains shard over a 'chains' mesh and
+    each recorded sample is the pmean over all chips (benchmark config #5:
+    chip-parallel evaluation farm over ICI).
+    """
     if state is None:
         if key is None:
             key = jax.random.key(config.seed)
@@ -64,24 +69,56 @@ def evaluate_operator(
             key, wf, params, config.num_sites, config.batch_size)
     state = metropolis.refresh_amplitudes(wf, params, state)
 
-    @jax.jit
-    def run(smp):
+    def local_run(smp, axis_name=None):
         smp = metropolis.reset_stats(smp)
         smp = metropolis.run_sweeps(wf, params, smp,
                                     config.num_equilibration_sweeps)
-        smp, values = _sample_loop(
-            wf, operator, params, smp, config.num_evaluation_samples,
-            config.num_monte_carlo_sweeps)
-        return smp, values
 
-    state, values = run(state)
+        def step(smp, _):
+            value = jnp.mean(operator.local_value(wf, params, smp.configs))
+            if axis_name is not None:
+                value = jax.lax.pmean(value, axis_name)
+            smp = metropolis.run_sweeps(wf, params, smp,
+                                        config.num_monte_carlo_sweeps)
+            return smp, value
+
+        smp, values = lax.scan(step, smp, None,
+                               length=config.num_evaluation_samples)
+        acc = metropolis.acceptance_rate(smp)
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+        return smp, values, acc
+
+    if getattr(config, 'num_devices', 1) > 1:
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from cgs_vmc_tpu.parallel import mesh as mesh_lib
+
+        device_mesh = mesh_lib.make_mesh(config.num_devices)
+        sampler_specs = jax.tree.map(lambda _: P(mesh_lib.CHAINS_AXIS),
+                                     state)
+        run = jax.jit(jax.shard_map(
+            partial(local_run, axis_name=mesh_lib.CHAINS_AXIS),
+            mesh=device_mesh,
+            in_specs=(sampler_specs,),
+            out_specs=(sampler_specs, P(), P()),
+            check_vma=False,
+        ))
+        state = jax.tree.map(
+            lambda x, s: jax.device_put(
+                x, jax.sharding.NamedSharding(device_mesh, s)),
+            state, sampler_specs)
+    else:
+        run = jax.jit(local_run)
+
+    state, values, acc = run(state)
     values = np.asarray(values)
     mean, err = binned_error(values)
     return EvalResult(
         mean=float(mean),
         error=float(err),
         values=values,
-        acceptance_rate=float(metropolis.acceptance_rate(state)),
+        acceptance_rate=float(acc),
     )
 
 

@@ -26,6 +26,7 @@ from cgs_vmc_tpu.optim import (
 from cgs_vmc_tpu.parallel import mesh as mesh_lib
 from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
 from cgs_vmc_tpu.utils.metrics import MetricsLogger
+from cgs_vmc_tpu.utils.profiling import maybe_trace
 
 
 def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
@@ -102,7 +103,13 @@ def train(config: Config, resume: bool = False,
         if out_dir and epoch % config.checkpoint_frequency == 0:
             ckpt_lib.save_checkpoint(out_dir, state, epoch,
                                      config.max_checkpoints_to_keep)
-        state, metrics = epoch_fn(state)
+        # Trace the second epoch (the first pays compilation).
+        trace_dir = (config.profile_dir
+                     if config.profile_dir and epoch == start_epoch + 1
+                     else None)
+        with maybe_trace(trace_dir):
+            state, metrics = epoch_fn(state)
+            jax.block_until_ready(metrics)
         logger.log(epoch + 1, metrics)
 
     if out_dir:

@@ -112,6 +112,27 @@ def test_sharded_gradient_matches_single_device():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_sharded_evaluation_matches_ed():
+    """Multi-chip MC evaluation farm (benchmark config #5) on the exact
+    wavefunction: chip-parallel chains, pmean'd samples, E == E0."""
+    from cgs_vmc_tpu.models import FullVector
+    from cgs_vmc_tpu.evaluate import evaluate_operator
+    from cgs_vmc_tpu.utils import ed
+
+    bonds = lattice.chain_bonds(N)
+    e0, v0 = ed.ground_state(N, bonds)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    config = Config(num_sites=N, batch_size=16 * 8, num_devices=8,
+                    num_equilibration_sweeps=10, num_monte_carlo_sweeps=1,
+                    num_evaluation_samples=25)
+    ham = HeisenbergHamiltonian(bonds)
+    result = evaluate_operator(wf, params, ham, config,
+                               key=jax.random.key(5))
+    np.testing.assert_allclose(result.mean, e0, rtol=1e-3)
+    assert result.error < 1e-2
+
+
 def test_dryrun_multichip_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
