@@ -102,6 +102,7 @@ class Config:
     sr_diag_shift: float = 1e-3
     sr_cg_tol: float = 1e-6
     sr_cg_maxiter: int = 100
+    sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
     # Checkpointing.

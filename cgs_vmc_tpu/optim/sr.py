@@ -86,7 +86,11 @@ class StochasticReconfiguration:
         e2_mean = common.pmean(jnp.mean(e_loc ** 2), axis_name)
 
         def log_fn(p):
-            return wf.apply(p, all_configs).log
+            # Pin matmul precision: TPU f32 dots default to bf16-pass
+            # decomposition, which is too coarse for CG on an
+            # ill-conditioned S-matrix.
+            with jax.default_matmul_precision('highest'):
+                return wf.apply(p, all_configs).log
 
         _, pullback = jax.vjp(log_fn, params)
 
@@ -110,6 +114,16 @@ class StochasticReconfiguration:
         delta, _ = jax.scipy.sparse.linalg.cg(
             matvec, grad_e,
             tol=cfg.sr_cg_tol, maxiter=cfg.sr_cg_maxiter)
+
+        # Robustness: if CG diverged (non-finite) fall back to the raw
+        # gradient; trust-region clip the natural-gradient norm.
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(delta)]))
+        delta = jax.tree.map(
+            lambda d, g: jnp.where(finite, d, g), delta, grad_e)
+        delta_norm = common.grad_global_norm(delta)
+        clip = jnp.minimum(1.0, cfg.sr_delta_clip / (delta_norm + 1e-12))
+        delta = jax.tree.map(lambda d: d * clip, delta)
 
         params, opt_state = self.optax_opt.update(
             delta, state.opt_state, params, state.epoch)

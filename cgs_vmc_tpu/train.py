@@ -136,7 +136,6 @@ def distill(config: Config, resume: bool = False,
         if latest is None:
             raise FileNotFoundError(
                 f'No checkpoint in supervisor_dir {config.supervisor_dir!r}')
-        template = target_wf.init(jax.random.key(0))
         # Supervisor checkpoints store a full TrainState; pull params out.
         opt_name = sup_config.wavefunction_optimizer_type or 'ITSWO'
         sup_ham = build_hamiltonian(sup_config)
@@ -145,7 +144,6 @@ def distill(config: Config, resume: bool = False,
         sup_state = sup_opt.init_state(jax.random.key(0))
         sup_state = ckpt_lib.restore_checkpoint(latest, sup_state)
         target_params = sup_state.params
-        del template
 
     wf = models.build_wavefunction(config)
     opt_name = config.wavefunction_optimizer_type or 'SWO'
