@@ -105,6 +105,9 @@ class Config:
     sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
+    # Use the fused Pallas sweep kernel when the ansatz supports it
+    # (pure RBM): O(hidden) incremental updates instead of full forwards.
+    use_fast_sampler: bool = True
     # Checkpointing.
     checkpoint_frequency: int = 1
     max_checkpoints_to_keep: int = 5

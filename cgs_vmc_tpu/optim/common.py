@@ -123,3 +123,22 @@ def normalized_ratio(amp_num, amp_den) -> jax.Array:
 
 def grad_global_norm(grads: Params) -> jax.Array:
     return optax.global_norm(grads)
+
+
+def make_sweeps_fn(wf: Wavefunction, config):
+    """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state,
+    dispatching to the fused Pallas kernel when the ansatz supports it
+    (pure RBM + config.use_fast_sampler), else the generic sampler."""
+    from cgs_vmc_tpu.sampler import fast_rbm, metropolis as mp
+
+    if getattr(config, 'use_fast_sampler', True) and fast_rbm.supports(wf):
+        interpret = jax.default_backend() != 'tpu'
+
+        def fast(params, state, num_sweeps):
+            return fast_rbm.run_sweeps(wf, params, state, num_sweeps,
+                                       interpret=interpret)
+        return fast
+
+    def generic(params, state, num_sweeps):
+        return mp.run_sweeps(wf, params, state, num_sweeps)
+    return generic

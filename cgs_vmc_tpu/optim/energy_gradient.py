@@ -35,6 +35,7 @@ class EnergyGradientOptimizer:
         self.hamiltonian = hamiltonian
         self.config = config
         self.optax_opt = common.make_optax_optimizer(config)
+        self.sweeps = common.make_sweeps_fn(wf, config)
 
     def init_state(self, key: jax.Array, n_local_chains: Optional[int] = None
                    ) -> TrainState:
@@ -63,8 +64,8 @@ class EnergyGradientOptimizer:
         sampler = metropolis.reset_stats(state.sampler)
         # Params changed since last epoch's sweeps wrote the amplitude cache.
         sampler = metropolis.refresh_amplitudes(wf, params, sampler)
-        sampler = metropolis.run_sweeps(
-            wf, params, sampler, cfg.num_equilibration_sweeps)
+        sampler = self.sweeps(params, sampler,
+                              cfg.num_equilibration_sweeps)
 
         n_batches = cfg.num_batches_per_epoch
         zero_grads = jax.tree.map(jnp.zeros_like, params)
@@ -89,8 +90,7 @@ class EnergyGradientOptimizer:
             e_sum = e_sum + jnp.sum(e_loc) * inv
             e2_sum = e2_sum + jnp.sum(e_loc ** 2) * inv
 
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             return (smp, g_plain, g_scaled, e_sum, e2_sum), None
 
         init = (sampler, zero_grads, zero_grads,

@@ -39,6 +39,7 @@ class StochasticReconfiguration:
         self.hamiltonian = hamiltonian
         self.config = config
         self.optax_opt = common.make_optax_optimizer(config)
+        self.sweeps = common.make_sweeps_fn(wf, config)
 
     def init_state(self, key: jax.Array, n_local_chains: Optional[int] = None
                    ) -> TrainState:
@@ -64,14 +65,13 @@ class StochasticReconfiguration:
         sampler = metropolis.reset_stats(state.sampler)
         # Params changed since last epoch's sweeps wrote the amplitude cache.
         sampler = metropolis.refresh_amplitudes(wf, params, sampler)
-        sampler = metropolis.run_sweeps(
-            wf, params, sampler, cfg.num_equilibration_sweeps)
+        sampler = self.sweeps(params, sampler,
+                              cfg.num_equilibration_sweeps)
 
         # Collect num_batches_per_epoch decorrelated sample batches.
         def collect(smp, _):
             configs = smp.configs
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             return smp, configs
 
         sampler, batches = lax.scan(
@@ -86,11 +86,7 @@ class StochasticReconfiguration:
         e2_mean = common.pmean(jnp.mean(e_loc ** 2), axis_name)
 
         def log_fn(p):
-            # Pin matmul precision: TPU f32 dots default to bf16-pass
-            # decomposition, which is too coarse for CG on an
-            # ill-conditioned S-matrix.
-            with jax.default_matmul_precision('highest'):
-                return wf.apply(p, all_configs).log
+            return wf.apply(p, all_configs).log
 
         _, pullback = jax.vjp(log_fn, params)
 
@@ -103,13 +99,15 @@ class StochasticReconfiguration:
             jt(e_loc / m_local), o_mean, e_mean)                  # g
 
         def matvec(v):
-            """(S + eps I) v via jvp/vjp: S v = <O (O·v)> − <O><O·v>."""
+            """(S + eps I) v via jvp/vjp with algebraic centering:
+            S v = <O·(jv − <jv>)> exactly (the <O><jv> cross-term cancels),
+            which avoids the large-value cancellation that amplifies TPU
+            matmul rounding into CG divergence."""
             _, jv = jax.jvp(log_fn, (params,), (v,))              # [M_local]
-            ov_mean = common.pmean(jnp.mean(jv), axis_name)       # <O·v>
-            sv = jt(jv / m_local)                                 # <O (O·v)>
+            jv_mean = common.pmean(jnp.mean(jv), axis_name)       # <O·v>
+            sv = jt((jv - jv_mean) / m_local)   # <O (O·v)> − <O><O·v>
             return jax.tree.map(
-                lambda a, b, c: a - ov_mean * b + cfg.sr_diag_shift * c,
-                sv, o_mean, v)
+                lambda a, c: a + cfg.sr_diag_shift * c, sv, v)
 
         delta, _ = jax.scipy.sparse.linalg.cg(
             matvec, grad_e,

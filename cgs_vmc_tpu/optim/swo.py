@@ -58,6 +58,7 @@ class _SWOBase:
         self.wf = wf
         self.config = config
         self.optax_opt = common.make_optax_optimizer(config)
+        self.sweeps = common.make_sweeps_fn(wf, config)
 
     def _base_state(self, key: jax.Array, extra: dict,
                     n_local_chains: Optional[int] = None) -> TrainState:
@@ -107,16 +108,15 @@ class LogOverlapImaginaryTimeSWO(_SWOBase):
         sampler = metropolis.reset_stats(state.sampler)
         # Params changed since the cache was last written (previous epoch).
         sampler = metropolis.refresh_amplitudes(wf, state.params, sampler)
-        sampler = metropolis.run_sweeps(
-            wf, state.params, sampler, cfg.num_equilibration_sweeps)
+        sampler = self.sweeps(state.params, sampler,
+                              cfg.num_equilibration_sweeps)
         # Supervisor refresh (reference training.py:755): ψ_ω ← ψ.
         omega = jax.tree.map(jnp.copy, state.params)
 
         def batch_step(carry, _):
             params, opt_state, smp, e_sum = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             configs = smp.configs
             m = configs.shape[0]
 
@@ -194,16 +194,15 @@ class ImaginaryTimeSWO(_SWOBase):
         sampler = metropolis.reset_stats(state.sampler)
         # Params changed since the cache was last written (previous epoch).
         sampler = metropolis.refresh_amplitudes(wf, state.params, sampler)
-        sampler = metropolis.run_sweeps(
-            wf, state.params, sampler, cfg.num_equilibration_sweeps)
+        sampler = self.sweeps(state.params, sampler,
+                              cfg.num_equilibration_sweeps)
         omega = jax.tree.map(jnp.copy, state.params)
         norm_var = state.extra['ite_normalization']
 
         def batch_step(carry, _):
             params, opt_state, smp, ema_norm, ema_energy, ema_count = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             configs = smp.configs
 
             amp_omega = wf.apply(omega, configs)
@@ -291,8 +290,7 @@ class SupervisedWavefunctionOptimizer(_SWOBase):
         def batch_step(carry, _):
             params, opt_state, smp = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             configs = smp.configs
             amp_t = self.target_wf.apply(target_params, configs)
 
@@ -342,8 +340,7 @@ class LogOverlapSWO(SupervisedWavefunctionOptimizer):
         def batch_step(carry, _):
             params, opt_state, smp = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             configs = smp.configs
             m = configs.shape[0]
 
@@ -417,8 +414,7 @@ class DualSamplingSWO(_SWOBase):
         def batch_step(carry, _):
             params, opt_state, smp, t_smp = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        cfg.num_monte_carlo_sweeps)
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             t_smp = metropolis.run_sweeps(target_wf, target_params, t_smp,
                                           cfg.num_monte_carlo_sweeps)
             configs = jnp.concatenate([smp.configs, t_smp.configs], axis=0)

@@ -41,6 +41,38 @@ def test_cache_matches_model_apply():
     assert float(state.num_proposed[0]) == 5 * N
 
 
+def test_training_with_fast_sampler_converges():
+    """EnergyGradient + the fused sweep path on a pure RBM reaches the
+    N=8 chain ground state (Marshall gauge)."""
+    import pytest
+    pytest.importorskip('scipy')
+    from cgs_vmc_tpu import lattice
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.optim import EnergyGradientOptimizer
+    from cgs_vmc_tpu.utils import ed
+
+    config = Config(num_sites=N, wavefunction_type='rbm',
+                    num_fc_layers=0, fc_layer_size=16,
+                    batch_size=128, num_batches_per_epoch=5,
+                    num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+                    learning_rates=[5e-3, 1e-3], learning_rate_stops=[120],
+                    optimizer='adam', heisenberg_jx=-1.0,
+                    use_fast_sampler=True, seed=2)
+    bonds = lattice.chain_bonds(N)
+    e0, _ = ed.ground_state(N, bonds, j_x=-1.0)
+    wf = build_wavefunction(config)
+    assert fast_rbm.supports(wf)
+    ham = HeisenbergHamiltonian(bonds, -1.0, 1.0)
+    opt = EnergyGradientOptimizer(wf, ham, config)
+    state = opt.init_state(jax.random.key(1))
+    epoch_fn = jax.jit(opt.epoch)
+    for _ in range(150):
+        state, metrics = epoch_fn(state)
+    energy = float(metrics['energy'])
+    assert abs(energy - e0) / abs(e0) < 0.05
+    assert float(metrics['acceptance_rate']) > 0.05
+
+
 def test_stats_accumulate():
     wf, params = _pure_rbm()
     state = metropolis.init_sampler(jax.random.key(2), wf, params, N, 16)
