@@ -18,9 +18,17 @@ ceiling: one session.run round-trip per single-pair move
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: repeated bench invocations skip the
+# (potentially remote) TPU compile entirely.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/jax_comp'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 import jax.numpy as jnp
 
 from cgs_vmc_tpu import basis

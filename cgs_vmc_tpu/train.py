@@ -52,7 +52,9 @@ def _make_epoch_fn(optimizer, state: TrainState, config: Config):
     num_devices  > 1: shard_map over a 'chains' mesh with pmean'd moments.
     """
     if config.num_devices <= 1:
-        return jax.jit(optimizer.epoch), state
+        # Donate the incoming TrainState: the old state is dead after each
+        # epoch, so XLA can reuse its HBM for the new one.
+        return jax.jit(optimizer.epoch, donate_argnums=(0,)), state
 
     device_mesh = mesh_lib.make_mesh(config.num_devices)
     _, metric_template = jax.eval_shape(optimizer.epoch, state)
