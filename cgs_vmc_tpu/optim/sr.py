@@ -88,6 +88,10 @@ class StochasticReconfiguration:
         def log_fn(p):
             return wf.apply(p, all_configs).log
 
+        # Linearize once: every CG iteration reuses the stored tangent
+        # residuals instead of re-running the forward pass (jax.jvp would
+        # re-trace the primal each matvec).
+        _, jvp_fn = jax.linearize(log_fn, params)
         _, pullback = jax.vjp(log_fn, params)
 
         def jt(weights):
@@ -103,7 +107,7 @@ class StochasticReconfiguration:
             S v = <O·(jv − <jv>)> exactly (the <O><jv> cross-term cancels),
             which avoids the large-value cancellation that amplifies TPU
             matmul rounding into CG divergence."""
-            _, jv = jax.jvp(log_fn, (params,), (v,))              # [M_local]
+            jv = jvp_fn(v)                                        # [M_local]
             jv_mean = common.pmean(jnp.mean(jv), axis_name)       # <O·v>
             sv = jt((jv - jv_mean) / m_local)   # <O (O·v)> − <O><O·v>
             return jax.tree.map(
