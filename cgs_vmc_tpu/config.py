@@ -100,6 +100,7 @@ class Config:
     j_file_path: str = ''        # bonds file (reference: J.txt in ckpt dir)
     # Stochastic reconfiguration (new optimizer; absent from reference).
     sr_diag_shift: float = 1e-3
+    sr_solver: str = 'dense'      # 'dense' (sample-space minSR) | 'cg'
     sr_cg_tol: float = 1e-6
     sr_cg_maxiter: int = 100
     sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|

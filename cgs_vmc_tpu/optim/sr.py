@@ -6,12 +6,25 @@ required by the rebuild spec (SURVEY.md §7 design stance #6).
 
 Solves  (S + eps·I) · delta = g  where
   S_kj = <O_k O_j> − <O_k><O_j>,     O_k = d logψ / d θ_k,
-  g_k  = <E_loc O_k> − <E_loc><O_k>,
-with S applied matrix-free through paired jvp/vjp over the batch of sampled
-configurations and the solve done by conjugate gradients on parameter
-pytrees.  Every matrix-vector product reduces over the chain axis with
-``pmean``, so CG runs identically (and synchronously) on all chips of the
-mesh — the matvec is the only cross-device communication.
+  g_k  = <E_loc O_k> − <E_loc><O_k>.
+
+Two solvers:
+
+ * 'dense' (default, the TPU-native choice): materialize the centered
+   log-derivative Jacobian Ō [samples, params], move the solve to SAMPLE
+   space with the push-through identity
+       δ = Ōᵀ (Ō Ōᵀ / M + ε I_M)⁻¹ ε_loc / M,
+   and Cholesky-solve the [M, M] system — two large MXU matmuls plus a
+   direct solve, numerically robust where iterative CG is wrecked by
+   TPU matmul rounding.  This is the "minSR" formulation (Chen & Heyl
+   2023) and is exact for ε > 0.
+ * 'cg': matrix-free S·v through paired jvp/vjp, conjugate gradients on
+   parameter pytrees — O(params) memory, for models too large to
+   materialize the Jacobian.
+
+Both paths aggregate over the 'chains' mesh axis; the dense path
+all-gathers the per-device Jacobian shards, the CG path pmeans each
+matvec over ICI.
 """
 
 from __future__ import annotations
@@ -19,6 +32,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 from jax import lax
 
@@ -88,37 +102,16 @@ class StochasticReconfiguration:
         def log_fn(p):
             return wf.apply(p, all_configs).log
 
-        # Linearize once: every CG iteration reuses the stored tangent
-        # residuals instead of re-running the forward pass (jax.jvp would
-        # re-trace the primal each matvec).
-        _, jvp_fn = jax.linearize(log_fn, params)
-        _, pullback = jax.vjp(log_fn, params)
+        solver = cfg.sr_solver
+        if solver == 'dense':
+            delta, grad_e, residual_norm = self._dense_solve(
+                log_fn, params, e_loc, e_mean, m_local, axis_name)
+        else:
+            delta, grad_e, residual_norm = self._cg_solve(
+                log_fn, params, e_loc, e_mean, m_local, axis_name)
 
-        def jt(weights):
-            """J^T w (pullback through logψ), pmean'd over devices."""
-            return common.pmean(pullback(weights)[0], axis_name)
-
-        o_mean = jt(jnp.full((m_local,), 1.0 / m_local))          # <O>
-        grad_e = common.tree_weighted_diff(
-            jt(e_loc / m_local), o_mean, e_mean)                  # g
-
-        def matvec(v):
-            """(S + eps I) v via jvp/vjp with algebraic centering:
-            S v = <O·(jv − <jv>)> exactly (the <O><jv> cross-term cancels),
-            which avoids the large-value cancellation that amplifies TPU
-            matmul rounding into CG divergence."""
-            jv = jvp_fn(v)                                        # [M_local]
-            jv_mean = common.pmean(jnp.mean(jv), axis_name)       # <O·v>
-            sv = jt((jv - jv_mean) / m_local)   # <O (O·v)> − <O><O·v>
-            return jax.tree.map(
-                lambda a, c: a + cfg.sr_diag_shift * c, sv, v)
-
-        delta, _ = jax.scipy.sparse.linalg.cg(
-            matvec, grad_e,
-            tol=cfg.sr_cg_tol, maxiter=cfg.sr_cg_maxiter)
-
-        # Robustness: if CG diverged (non-finite) fall back to the raw
-        # gradient; trust-region clip the natural-gradient norm.
+        # Robustness: non-finite solve falls back to the raw gradient;
+        # trust-region clip on the natural-gradient norm.
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(delta)]))
         delta = jax.tree.map(
@@ -130,14 +123,13 @@ class StochasticReconfiguration:
         params, opt_state = self.optax_opt.update(
             delta, state.opt_state, params, state.epoch)
 
-        residual = jax.tree.map(jnp.subtract, matvec(delta), grad_e)
         metrics = {
             'energy': e_mean,
             'energy_variance': e2_mean - e_mean ** 2,
             'acceptance_rate': common.pmean(
                 metropolis.acceptance_rate(sampler), axis_name),
             'grad_norm': common.grad_global_norm(grad_e),
-            'sr_residual_norm': common.grad_global_norm(residual),
+            'sr_residual_norm': residual_norm,
         }
         new_state = TrainState(
             params=params,
@@ -147,3 +139,80 @@ class StochasticReconfiguration:
             extra=state.extra,
         )
         return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # Solvers.
+    # ------------------------------------------------------------------
+
+    def _dense_solve(self, log_fn, params, e_loc, e_mean, m_local,
+                     axis_name):
+        """Sample-space minSR: δ = Ōᵀ (Ō Ōᵀ/M + εI)⁻¹ ε̄ / M.
+
+        Ō is the centered log-derivative Jacobian; all heavy lifting is
+        two MXU matmuls + one Cholesky solve in f32 with HIGHEST matmul
+        precision on the small [M, M] system.
+        """
+        cfg = self.config
+        flat_params, unravel = jax.flatten_util.ravel_pytree(params)
+
+        def log_flat(p_flat):
+            return log_fn(unravel(p_flat))
+
+        # Jacobian [M_local, P] via vmapped reverse-mode.
+        jac = jax.jacrev(log_flat)(flat_params)
+        jac = jac - jnp.mean(jac, axis=0, keepdims=True)  # local centering
+
+        eps = e_loc - e_mean                                # [M_local]
+        if axis_name is not None:
+            # Gather shards so every device solves the identical global
+            # system (the [M, M] solve is tiny next to the matmuls).
+            jac = jax.lax.all_gather(jac, axis_name, axis=0, tiled=True)
+            eps = jax.lax.all_gather(eps, axis_name, axis=0, tiled=True)
+            # Re-center with the GLOBAL mean.
+            jac = jac - jnp.mean(jac, axis=0, keepdims=True)
+        m_global = jac.shape[0]
+
+        with jax.default_matmul_precision('highest'):
+            t_matrix = (jac @ jac.T) / m_global             # [M, M]
+            t_matrix = t_matrix + cfg.sr_diag_shift * jnp.eye(
+                m_global, dtype=t_matrix.dtype)
+            y = jax.scipy.linalg.solve(t_matrix, eps / m_global,
+                                       assume_a='pos')      # [M]
+            delta_flat = jac.T @ y                          # [P]
+            grad_flat = jac.T @ (eps / m_global)
+
+        delta = unravel(delta_flat)
+        grad_e = unravel(grad_flat)
+        # Residual of the parameter-space system, for monitoring:
+        # S δ + ε δ − g with S = ŌᵀŌ/M.
+        with jax.default_matmul_precision('highest'):
+            s_delta = jac.T @ (jac @ delta_flat) / m_global
+        residual_norm = jnp.linalg.norm(
+            s_delta + cfg.sr_diag_shift * delta_flat - grad_flat)
+        return delta, grad_e, residual_norm
+
+    def _cg_solve(self, log_fn, params, e_loc, e_mean, m_local, axis_name):
+        """Matrix-free CG in parameter space (O(params) memory)."""
+        cfg = self.config
+        _, jvp_fn = jax.linearize(log_fn, params)
+        _, pullback = jax.vjp(log_fn, params)
+
+        def jt(weights):
+            return common.pmean(pullback(weights)[0], axis_name)
+
+        grad_e = jt((e_loc - e_mean) / m_local)
+
+        def matvec(v):
+            # Algebraically centered: S v = <O·(jv − <jv>)> exactly —
+            # avoids the large-value cancellation that amplifies TPU
+            # matmul rounding into CG divergence.
+            jv = jvp_fn(v)
+            jv_mean = common.pmean(jnp.mean(jv), axis_name)
+            sv = jt((jv - jv_mean) / m_local)
+            return jax.tree.map(
+                lambda a, c: a + cfg.sr_diag_shift * c, sv, v)
+
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            matvec, grad_e, tol=cfg.sr_cg_tol, maxiter=cfg.sr_cg_maxiter)
+        residual = jax.tree.map(jnp.subtract, matvec(delta), grad_e)
+        return delta, grad_e, common.grad_global_norm(residual)
