@@ -69,17 +69,18 @@ def evaluate_operator(
             key, wf, params, config.num_sites, config.batch_size)
     state = metropolis.refresh_amplitudes(wf, params, state)
 
+    from cgs_vmc_tpu.optim.common import make_sweeps_fn
+    sweeps_fn = make_sweeps_fn(wf, config)
+
     def local_run(smp, axis_name=None):
         smp = metropolis.reset_stats(smp)
-        smp = metropolis.run_sweeps(wf, params, smp,
-                                    config.num_equilibration_sweeps)
+        smp = sweeps_fn(params, smp, config.num_equilibration_sweeps)
 
         def step(smp, _):
             value = jnp.mean(operator.local_value(wf, params, smp.configs))
             if axis_name is not None:
                 value = jax.lax.pmean(value, axis_name)
-            smp = metropolis.run_sweeps(wf, params, smp,
-                                        config.num_monte_carlo_sweeps)
+            smp = sweeps_fn(params, smp, config.num_monte_carlo_sweeps)
             return smp, value
 
         smp, values = lax.scan(step, smp, None,
