@@ -105,7 +105,7 @@ class StochasticReconfiguration:
         solver = cfg.sr_solver
         if solver == 'dense':
             delta, grad_e, residual_norm = self._dense_solve(
-                log_fn, params, e_loc, e_mean, m_local, axis_name)
+                all_configs, params, e_loc, e_mean, axis_name)
         else:
             delta, grad_e, residual_norm = self._cg_solve(
                 log_fn, params, e_loc, e_mean, m_local, axis_name)
@@ -144,8 +144,7 @@ class StochasticReconfiguration:
     # Solvers.
     # ------------------------------------------------------------------
 
-    def _dense_solve(self, log_fn, params, e_loc, e_mean, m_local,
-                     axis_name):
+    def _dense_solve(self, all_configs, params, e_loc, e_mean, axis_name):
         """Sample-space minSR: δ = Ōᵀ (Ō Ōᵀ/M + εI)⁻¹ ε̄ / M.
 
         Ō is the centered log-derivative Jacobian; all heavy lifting is
@@ -154,12 +153,16 @@ class StochasticReconfiguration:
         """
         cfg = self.config
         flat_params, unravel = jax.flatten_util.ravel_pytree(params)
+        wf = self.wf
 
-        def log_flat(p_flat):
-            return log_fn(unravel(p_flat))
+        # Per-sample gradient rows via vmap(grad): one batched backward
+        # pass total.  (jacrev of the batched log would do O(M²) work —
+        # the jacobian's block structure is invisible to XLA.)
+        def single_log(p_flat, config):
+            return wf.apply(unravel(p_flat), config[None, :]).log[0]
 
-        # Jacobian [M_local, P] via vmapped reverse-mode.
-        jac = jax.jacrev(log_flat)(flat_params)
+        jac = jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
+            flat_params, all_configs)                     # [M_local, P]
         jac = jac - jnp.mean(jac, axis=0, keepdims=True)  # local centering
 
         eps = e_loc - e_mean                                # [M_local]

@@ -56,7 +56,7 @@ def test_dense_solver_matches_explicit_s_matrix():
     def log_fn(p):
         return wf.apply(p, configs).log
 
-    delta, _, _ = opt._dense_solve(log_fn, params, e_loc, e_mean, 64, None)
+    delta, _, _ = opt._dense_solve(configs, params, e_loc, e_mean, None)
     flat_delta, _ = jax.flatten_util.ravel_pytree(delta)
     expected = _explicit_natural_gradient(wf, params, configs, e_loc)
     np.testing.assert_allclose(np.asarray(flat_delta), expected,
@@ -74,8 +74,8 @@ def test_cg_solver_matches_dense():
         return wf.apply(p, configs).log
 
     delta_cg, _, _ = opt._cg_solve(log_fn, params, e_loc, e_mean, 64, None)
-    delta_dense, _, _ = opt._dense_solve(log_fn, params, e_loc, e_mean,
-                                         64, None)
+    delta_dense, _, _ = opt._dense_solve(configs, params, e_loc, e_mean,
+                                         None)
     for a, b in zip(jax.tree.leaves(delta_cg), jax.tree.leaves(delta_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
