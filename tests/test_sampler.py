@@ -89,6 +89,21 @@ def test_chains_are_independent():
     assert len(np.unique(accepted)) > 3  # not lock-stepped
 
 
+def test_rng_keys_advance_every_step():
+    """RNG-key discipline (SURVEY §5.2 analog): every Metropolis step must
+    consume and replace the per-chain keys — key reuse silently biases
+    the physics."""
+    wf, params, _, _ = _exact_wavefunction()
+    state = metropolis.init_sampler(jax.random.key(7), wf, params, N, 16)
+    keys0 = np.asarray(jax.random.key_data(state.keys))
+    state1 = metropolis.mc_step(wf, params, state)
+    keys1 = np.asarray(jax.random.key_data(state1.keys))
+    assert not (keys0 == keys1).all(axis=-1).any(), 'a chain key was reused'
+    state2 = metropolis.mc_step(wf, params, state1)
+    keys2 = np.asarray(jax.random.key_data(state2.keys))
+    assert not (keys1 == keys2).all(axis=-1).any()
+
+
 def test_refresh_amplitudes():
     wf, params, _, _ = _exact_wavefunction()
     state = metropolis.init_sampler(jax.random.key(6), wf, params, N, 16)
