@@ -65,6 +65,10 @@ class Config:
 
     nonlinearity: str = 'relu'
     output_activation: str = 'exp'
+    # Symmetry projection (new vs reference): average the ansatz over the
+    # square-lattice point group (+ global spin flip) in log domain.
+    symmetrize: bool = False
+    symmetrize_spin_flip: bool = True
     composite_output_activations: Tuple[str, str] = ('', '')
 
     # Monte Carlo parameters.

@@ -47,9 +47,12 @@ def build_wavefunction(config) -> Wavefunction:
     Raises:
       ValueError: the requested type is not registered.
     """
+    from cgs_vmc_tpu.models.symmetry import maybe_symmetrize
+
     wf_type = config.wavefunction_type
     if wf_type in WAVEFUNCTION_TYPES:
-        return WAVEFUNCTION_TYPES[wf_type].from_config(config)
+        return maybe_symmetrize(
+            WAVEFUNCTION_TYPES[wf_type].from_config(config), config)
 
     if wf_type in COMPOSITE_TYPES:
         type_a, type_b = config.composite_wavefunction_types
