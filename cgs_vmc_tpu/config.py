@@ -108,6 +108,8 @@ class Config:
     sr_cg_tol: float = 1e-6
     sr_cg_maxiter: int = 100
     sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|
+    # Skip the update when solve residual > this × |grad| (0 disables).
+    sr_reject_residual: float = 0.0
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
     # Use the fused Pallas sweep kernel when the ansatz supports it

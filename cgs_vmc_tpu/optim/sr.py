@@ -111,11 +111,21 @@ class StochasticReconfiguration:
                 log_fn, params, e_loc, e_mean, m_local, axis_name)
 
         # Robustness: non-finite solve falls back to the raw gradient;
-        # trust-region clip on the natural-gradient norm.
+        # trust-region clip on the natural-gradient norm; optionally skip
+        # the update entirely when the solve residual is large relative to
+        # the gradient (a bad natural-gradient direction at full step size
+        # can undo hundreds of epochs).
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(delta)]))
         delta = jax.tree.map(
             lambda d, g: jnp.where(finite, d, g), delta, grad_e)
+        if cfg.sr_reject_residual > 0:
+            ok = jnp.logical_or(
+                jnp.logical_not(finite),  # fallback grad is always usable
+                residual_norm < cfg.sr_reject_residual
+                * (common.grad_global_norm(grad_e) + 1e-12))
+            delta = jax.tree.map(
+                lambda d: jnp.where(ok, d, jnp.zeros_like(d)), delta)
         delta_norm = common.grad_global_norm(delta)
         clip = jnp.minimum(1.0, cfg.sr_delta_clip / (delta_norm + 1e-12))
         delta = jax.tree.map(lambda d: d * clip, delta)
