@@ -187,7 +187,12 @@ class StochasticReconfiguration:
 
         with jax.default_matmul_precision('highest'):
             t_matrix = (jac @ jac.T) / m_global             # [M, M]
-            t_matrix = t_matrix + cfg.sr_diag_shift * jnp.eye(
+            # Scale-invariant regularization: shift relative to the mean
+            # diagonal so conditioning doesn't depend on gradient scale
+            # (an absolute shift under-regularizes large-Jacobian models
+            # and the f32 Cholesky goes NaN).
+            diag_scale = jnp.mean(jnp.diagonal(t_matrix)) + 1e-12
+            t_matrix = t_matrix + (cfg.sr_diag_shift * diag_scale) * jnp.eye(
                 m_global, dtype=t_matrix.dtype)
             y = jax.scipy.linalg.solve(t_matrix, eps / m_global,
                                        assume_a='pos')      # [M]
@@ -197,11 +202,12 @@ class StochasticReconfiguration:
         delta = unravel(delta_flat)
         grad_e = unravel(grad_flat)
         # Residual of the parameter-space system, for monitoring:
-        # S δ + ε δ − g with S = ŌᵀŌ/M.
+        # S δ + ε_eff δ − g with S = ŌᵀŌ/M.
         with jax.default_matmul_precision('highest'):
             s_delta = jac.T @ (jac @ delta_flat) / m_global
         residual_norm = jnp.linalg.norm(
-            s_delta + cfg.sr_diag_shift * delta_flat - grad_flat)
+            s_delta + (cfg.sr_diag_shift * diag_scale) * delta_flat
+            - grad_flat)
         return delta, grad_e, residual_norm
 
     def _cg_solve(self, log_fn, params, e_loc, e_mean, m_local, axis_name):

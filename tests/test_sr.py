@@ -30,7 +30,9 @@ def _setup(solver):
 
 
 def _explicit_natural_gradient(wf, params, configs, e_loc):
-    """Reference computation: build S and g explicitly, dense-solve in f64."""
+    """Reference computation: build S and g explicitly, dense-solve in f64.
+    Uses the same scale-invariant shift as the dense solver:
+    eps_eff = SHIFT * mean(diag(O O^T / M))."""
     flat, unravel = jax.flatten_util.ravel_pytree(params)
 
     def log_flat(p):
@@ -42,8 +44,9 @@ def _explicit_natural_gradient(wf, params, configs, e_loc):
     e_centered = np.asarray(e_loc, np.float64) - np.mean(e_loc)
     s_matrix = jac.T @ jac / m
     g = jac.T @ e_centered / m
-    delta = np.linalg.solve(s_matrix + SHIFT * np.eye(len(flat)), g)
-    return delta
+    eps_eff = SHIFT * np.mean(np.sum(jac * jac, axis=1) / m)
+    delta = np.linalg.solve(s_matrix + eps_eff * np.eye(len(flat)), g)
+    return delta, eps_eff
 
 
 def test_dense_solver_matches_explicit_s_matrix():
@@ -58,24 +61,31 @@ def test_dense_solver_matches_explicit_s_matrix():
 
     delta, _, _ = opt._dense_solve(configs, params, e_loc, e_mean, None)
     flat_delta, _ = jax.flatten_util.ravel_pytree(delta)
-    expected = _explicit_natural_gradient(wf, params, configs, e_loc)
+    expected, _ = _explicit_natural_gradient(wf, params, configs, e_loc)
     np.testing.assert_allclose(np.asarray(flat_delta), expected,
                                rtol=2e-3, atol=2e-4)
 
 
 def test_cg_solver_matches_dense():
-    config, wf, opt = _setup('cg')
+    """CG (absolute shift) equals dense (relative shift) when the CG config
+    is given the dense solver's effective epsilon."""
+    config, wf, opt_dense = _setup('dense')
     params = wf.init(jax.random.key(2))
     configs = basis.random_configurations(jax.random.key(3), N, 64)
-    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_loc = opt_dense.hamiltonian.local_value(wf, params, configs)
     e_mean = jnp.mean(e_loc)
+
+    _, eps_eff = _explicit_natural_gradient(wf, params, configs, e_loc)
+    config_cg, wf_cg, opt_cg = _setup('cg')
+    opt_cg.config = config_cg.replace(sr_diag_shift=float(eps_eff))
 
     def log_fn(p):
         return wf.apply(p, configs).log
 
-    delta_cg, _, _ = opt._cg_solve(log_fn, params, e_loc, e_mean, 64, None)
-    delta_dense, _, _ = opt._dense_solve(configs, params, e_loc, e_mean,
-                                         None)
+    delta_cg, _, _ = opt_cg._cg_solve(log_fn, params, e_loc, e_mean, 64,
+                                      None)
+    delta_dense, _, _ = opt_dense._dense_solve(configs, params, e_loc,
+                                               e_mean, None)
     for a, b in zip(jax.tree.leaves(delta_cg), jax.tree.leaves(delta_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
