@@ -131,12 +131,13 @@ def make_sweeps_fn(wf: Wavefunction, config):
     (pure RBM + config.use_fast_sampler), else the generic sampler."""
     from cgs_vmc_tpu.sampler import fast_rbm, metropolis as mp
 
-    if getattr(config, 'use_fast_sampler', True) and fast_rbm.supports(wf):
-        interpret = jax.default_backend() != 'tpu'
-
+    # The fused kernel only pays off where Mosaic compiles it natively;
+    # on CPU the TPU-interpreter fallback is slower than the generic path.
+    on_tpu = jax.default_backend() == 'tpu'
+    if (getattr(config, 'use_fast_sampler', True) and on_tpu
+            and fast_rbm.supports(wf)):
         def fast(params, state, num_sweeps):
-            return fast_rbm.run_sweeps(wf, params, state, num_sweeps,
-                                       interpret=interpret)
+            return fast_rbm.run_sweeps(wf, params, state, num_sweeps)
         return fast
 
     def generic(params, state, num_sweeps):
