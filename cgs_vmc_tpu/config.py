@@ -102,6 +102,9 @@ class Config:
     heisenberg_jx: float = 1.0
     heisenberg_jz: float = 1.0
     j_file_path: str = ''        # bonds file (reference: J.txt in ckpt dir)
+    # Chunk the connected-config local-energy fan-out over samples (0 = off);
+    # needed when batch × n_bonds (× symmetry orbit) exceeds HBM.
+    energy_chunk_samples: int = 0
     # Stochastic reconfiguration (new optimizer; absent from reference).
     sr_diag_shift: float = 1e-3
     sr_solver: str = 'dense'      # 'dense' (sample-space minSR) | 'cg'

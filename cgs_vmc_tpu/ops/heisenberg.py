@@ -52,9 +52,16 @@ class Operator:
 
 
 class HeisenbergHamiltonian(Operator):
-    """H = sum_{(i,j) in bonds} J_z Sz_i Sz_j + J_x (Sx_i Sx_j + Sy_i Sy_j)."""
+    """H = sum_{(i,j) in bonds} J_z Sz_i Sz_j + J_x (Sx_i Sx_j + Sy_i Sy_j).
 
-    def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0):
+    sample_chunk: when > 0, the fused connected-configuration forward pass
+    is evaluated `sample_chunk` samples at a time via `lax.map` — the
+    fan-out is batch × n_bonds configurations (× the symmetry-orbit size
+    for projected ansatzes), which can exceed HBM for large lattices.
+    """
+
+    def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0,
+                 sample_chunk: int = 0):
         bonds = np.asarray(bonds, dtype=np.int32)
         if bonds.ndim != 2 or bonds.shape[1] != 2:
             raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
@@ -62,8 +69,7 @@ class HeisenbergHamiltonian(Operator):
         self.n_bonds = bonds.shape[0]
         self.j_x = float(j_x)
         self.j_z = float(j_z)
-        # Static one-hot bond masks: [n_bonds, n_sites] built lazily per
-        # n_sites at trace time (cheap; XLA constant-folds them).
+        self.sample_chunk = int(sample_chunk)
 
     # ------------------------------------------------------------------
 
@@ -113,6 +119,16 @@ class HeisenbergHamiltonian(Operator):
     def local_value(self, wf: Wavefunction, params: Params,
                     configs: jax.Array, amp: Optional[LogAmp] = None
                     ) -> jax.Array:
+        chunk = self.sample_chunk
+        if chunk and configs.shape[0] > chunk and configs.shape[0] % chunk == 0:
+            slices = configs.reshape(-1, chunk, configs.shape[-1])
+
+            def one_chunk(c):
+                a = wf.apply(params, c)
+                return self.diagonal(c) + self._offdiag_ratio_sum(
+                    wf, params, c, a)
+
+            return jax.lax.map(one_chunk, slices).reshape(-1)
         if amp is None:
             amp = wf.apply(params, configs)
         return self.diagonal(configs) + self._offdiag_ratio_sum(

@@ -41,8 +41,9 @@ def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
         bonds = lattice.load_bonds(j_file)
     else:
         bonds = lattice.bonds_for_config(config)
-    return HeisenbergHamiltonian(bonds, config.heisenberg_jx,
-                                 config.heisenberg_jz)
+    return HeisenbergHamiltonian(
+        bonds, config.heisenberg_jx, config.heisenberg_jz,
+        sample_chunk=getattr(config, 'energy_chunk_samples', 0))
 
 
 def _make_epoch_fn(optimizer, state: TrainState, config: Config):

@@ -133,3 +133,17 @@ def test_energy_gradient_matches_rayleigh_derivative():
     for exact, est in zip(jax.tree.leaves(g_exact), jax.tree.leaves(g_est)):
         np.testing.assert_allclose(
             np.asarray(exact), 2.0 * np.asarray(est), rtol=5e-3, atol=1e-5)
+
+
+def test_chunked_local_value_matches_unchunked():
+    """sample_chunk slicing must not change local energies."""
+    from cgs_vmc_tpu.models import FullVector
+    vec = _random_sector_vector(7)
+    wf = FullVector.for_sector(N, vec)
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))[:64]
+    full = HeisenbergHamiltonian(BONDS).local_value(wf, params, states)
+    chunked = HeisenbergHamiltonian(BONDS, sample_chunk=16).local_value(
+        wf, params, states)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6)
