@@ -122,3 +122,37 @@ def test_cli_train_and_eval(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert 'Energy:' in out and '+/-' in out
+
+
+def test_benchmark_configs_load_and_build():
+    """The shipped configs/*.json must parse and build their ansatzes."""
+    import glob
+    from cgs_vmc_tpu import models as models_lib
+    paths = sorted(glob.glob('configs/*.json'))
+    assert len(paths) >= 5
+    for path in paths:
+        config = Config.load(path)
+        wf = models_lib.build_wavefunction(config)
+        assert wf is not None
+
+
+@pytest.mark.slow
+def test_cli_dump(tmp_path, capsys):
+    run_dir = str(tmp_path / 'dump_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', str(N), '--num_epochs', '1',
+        '--wavefunction_type', 'rbm',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'num_fc_layers=1,fc_layer_size=8,batch_size=16,'
+        'num_batches_per_epoch=1,num_equilibration_sweeps=1',
+    ])
+    assert rc == 0
+    rc = cli_main(['dump', '--checkpoint_dir', run_dir])
+    assert rc == 0
+    out_file = os.path.join(run_dir, 'wavefunction_epoch_0.txt')
+    assert os.path.exists(out_file)
+    from math import comb
+    assert len(open(out_file).readlines()) == comb(N, N // 2)
