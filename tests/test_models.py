@@ -157,3 +157,21 @@ def test_mps_matches_dense_contraction():
 def test_unknown_type_raises():
     with pytest.raises(ValueError, match='not registered'):
         build_wavefunction(_config('nope'))
+
+
+def test_composite_mixed_output_activations():
+    """Per-part output activations (reference composite_output_activations,
+    cgs_vmc/wavefunctions.py:1178-1194): exp + cos sum carries signs."""
+    config = _config('sum',
+                     composite_wavefunction_types=('fully_connected', 'rbm'),
+                     composite_output_activations=('cos', 'exp'))
+    wf = build_wavefunction(config)
+    assert wf._wf_a.output_activation == 'cos'
+    params = wf.init(jax.random.key(3))
+    configs = _configs_batch()
+    amp = wf.apply(params, configs)
+    va = logamp.to_value(wf._wf_a.apply(params['a'], configs))
+    vb = logamp.to_value(wf._wf_b.apply(params['b'], configs))
+    np.testing.assert_allclose(
+        np.asarray(logamp.to_value(amp)),
+        np.asarray(va, np.float64) + np.asarray(vb, np.float64), rtol=1e-4)
