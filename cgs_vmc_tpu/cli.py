@@ -68,6 +68,12 @@ def main(argv=None) -> int:
     _add_common(p_train)
     p_train.add_argument('--resume', action='store_true',
                          help='Resume from the latest checkpoint.')
+    p_train.add_argument('--generate_vectors', action='store_true',
+                         help='Dump full-basis amplitudes after training '
+                              '(reference run_training.py:53-58).')
+    p_train.add_argument('--basis_file_path', default='',
+                         help='Basis file for --generate_vectors (defaults '
+                              'to enumerating the Sz=0 sector).')
 
     p_distill = sub.add_parser(
         'distill', help='Supervised distillation toward a trained target.')
@@ -88,7 +94,15 @@ def main(argv=None) -> int:
     if args.command == 'train':
         from cgs_vmc_tpu.train import train
         config = _build_config(args, default_optimizer='ITSWO')
-        train(config, resume=args.resume)
+        if args.basis_file_path:
+            config = config.replace(basis_file_path=args.basis_file_path)
+        state = train(config, resume=args.resume)
+        if args.generate_vectors:
+            from cgs_vmc_tpu import models
+            from cgs_vmc_tpu.evaluate import evaluate_vector
+            wf = models.build_wavefunction(config)
+            evaluate_vector(wf, state.params, config,
+                            epoch_num=config.num_epochs)
         return 0
 
     if args.command == 'distill':

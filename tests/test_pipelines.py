@@ -156,3 +156,21 @@ def test_cli_dump(tmp_path, capsys):
     assert os.path.exists(out_file)
     from math import comb
     assert len(open(out_file).readlines()) == comb(N, N // 2)
+
+
+@pytest.mark.slow
+def test_cli_train_generate_vectors(tmp_path):
+    run_dir = str(tmp_path / 'gv_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', str(N), '--num_epochs', '1',
+        '--wavefunction_type', 'rbm',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--generate_vectors',
+        '--override',
+        'num_fc_layers=1,fc_layer_size=8,batch_size=16,'
+        'num_batches_per_epoch=1,num_equilibration_sweeps=1',
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, 'wavefunction_epoch_1.txt'))
