@@ -13,7 +13,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from cgs_vmc_tpu import lattice, models
 from cgs_vmc_tpu.config import Config
