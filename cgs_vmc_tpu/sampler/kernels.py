@@ -68,7 +68,9 @@ def _sweep_kernel(pairs_ref,                          # scalar prefetch
     out_configs[:] = configs_ref[:]
 
     def step(t, carry):
-        theta, log_amp, accepted = carry
+        # lc = logcosh(theta) is carried across steps: only the PROPOSED
+        # theta needs a fresh transcendental evaluation each step.
+        theta, lc, log_amp, accepted = carry
         i = pairs_ref[t, 0]
         j = pairs_ref[t, 1]
 
@@ -81,12 +83,12 @@ def _sweep_kernel(pairs_ref,                          # scalar prefetch
         w_j = w_ref[pl.ds(j, 1), :]
         d_w = (w_i - w_j)[0]                      # [hidden]
         theta_new = theta + flip[:, None] * d_w[None, :]
+        lc_new = _log_cosh(theta_new)
 
         a_i = a_ref[0, i]
         a_j = a_ref[0, j]
         d_onsite = flip * (a_i - a_j)
-        d_log = d_onsite + jnp.sum(
-            _log_cosh(theta_new) - _log_cosh(theta), axis=-1)
+        d_log = d_onsite + jnp.sum(lc_new - lc, axis=-1)
 
         log_u = log_u_ref[pl.ds(t, 1), :][0]      # [chains]
         # f32 mask arithmetic: Mosaic cannot reshape/broadcast i1 vectors
@@ -97,13 +99,17 @@ def _sweep_kernel(pairs_ref,                          # scalar prefetch
         acc_row = acc[None, :]
         out_configs[pl.ds(i, 1), :] = s_i + acc_row * (s_j - s_i)
         out_configs[pl.ds(j, 1), :] = s_j + acc_row * (s_i - s_j)
-        theta = theta + acc[:, None] * (theta_new - theta)
+        acc_col = acc[:, None]
+        theta = theta + acc_col * (theta_new - theta)
+        lc = lc + acc_col * (lc_new - lc)
         log_amp = log_amp + acc * d_log
         accepted = accepted + acc
-        return theta, log_amp, accepted
+        return theta, lc, log_amp, accepted
 
-    init = (theta_ref[:], logamp_ref[:], jnp.zeros((n_chains,), jnp.float32))
-    theta, log_amp, accepted = lax.fori_loop(0, n_steps, step, init)
+    theta0 = theta_ref[:]
+    init = (theta0, _log_cosh(theta0), logamp_ref[:],
+            jnp.zeros((n_chains,), jnp.float32))
+    theta, _, log_amp, accepted = lax.fori_loop(0, n_steps, step, init)
     out_theta[:] = theta
     out_logamp[:] = log_amp
     out_accepted[:] = accepted
