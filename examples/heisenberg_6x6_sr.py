@@ -1,15 +1,13 @@
-"""Headline benchmark: 6x6 AFM Heisenberg to < 1e-3 of the QMC reference.
+"""Headline benchmark: 6x6 AFM Heisenberg to 2.3e-4 of the QMC reference.
 
 Reproduces RESULTS.md row #4 on a single TPU chip (~10 minutes):
 symmetrized conv-CGS (5x32, C4v x spin-flip projection) + dense
-sample-space SR.  Final MC eval: E/N = -0.678717 vs QMC -0.678872
-(rel err 2.3e-4).
+sample-space SR.  Final MC eval: E/N = -0.678717 vs QMC -0.678872.
 
 Uses split compiled programs (sweeps / local energy / SR update) so each
-remote compile stays small; the all-in-one `cgs train` driver path works
-too but compiles one large epoch program.
+(possibly remote) compile stays small; the all-in-one `cgs train` driver
+path works too but compiles one large epoch program.
 """
-"""6x6 SR run with split compiled programs (fast remote compiles)."""
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import time, functools, numpy as np, jax, jax.numpy as jnp
