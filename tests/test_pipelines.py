@@ -174,3 +174,23 @@ def test_cli_train_generate_vectors(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(run_dir, 'wavefunction_epoch_1.txt'))
+
+
+def test_j_file_bonds(tmp_path):
+    """J.txt in the checkpoint dir overrides the default chain
+    (reference run_training.py:103-109)."""
+    import numpy as np
+    from cgs_vmc_tpu.train import build_hamiltonian
+    run_dir = tmp_path / 'jrun'
+    run_dir.mkdir()
+    bonds = np.asarray([[0, 3], [1, 2], [4, 7]])
+    np.savetxt(run_dir / 'J.txt', bonds, fmt='%d')
+    config = Config(num_sites=N, checkpoint_dir=str(run_dir))
+    ham = build_hamiltonian(config)
+    np.testing.assert_array_equal(np.asarray(ham.bonds), bonds)
+    # explicit j_file_path wins over checkpoint_dir/J.txt
+    other = tmp_path / 'other.txt'
+    np.savetxt(other, np.asarray([[0, 1]]), fmt='%d')
+    config2 = config.replace(j_file_path=str(other))
+    ham2 = build_hamiltonian(config2)
+    assert ham2.n_bonds == 1
