@@ -34,19 +34,6 @@ class EvalResult(NamedTuple):
     acceptance_rate: float
 
 
-def _sample_loop(wf: Wavefunction, operator: Operator, params: Params,
-                 state: metropolis.SamplerState, num_samples: int,
-                 sweeps_between: int):
-    """(record batch-mean local value; decorrelate) × num_samples, compiled."""
-
-    def step(smp, _):
-        value = jnp.mean(operator.local_value(wf, params, smp.configs))
-        smp = metropolis.run_sweeps(wf, params, smp, sweeps_between)
-        return smp, value
-
-    return lax.scan(step, state, None, length=num_samples)
-
-
 def evaluate_operator(
     wf: Wavefunction,
     params: Params,
