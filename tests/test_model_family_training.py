@@ -53,3 +53,29 @@ def test_family_trains_and_energy_decreases(wf_type, extra):
     late = np.mean(energies[-5:])
     assert late < early - 0.05, (
         f'{wf_type}: no descent (early {early:.3f}, late {late:.3f})')
+
+
+@pytest.mark.slow
+def test_composite_product_trains():
+    """'prod' composite (Jastrow-style product of two ansatzes) trains."""
+    config = Config(
+        num_sites=N, wavefunction_type='prod',
+        composite_wavefunction_types=('rbm', 'fully_connected'),
+        composite_output_activations=('exp', 'exp'),
+        num_fc_layers=1, fc_layer_size=8,
+        batch_size=64, num_batches_per_epoch=2,
+        num_equilibration_sweeps=3, num_monte_carlo_sweeps=1,
+        learning_rates=[3e-3, 1e-3], learning_rate_stops=[100],
+        optimizer='adam', heisenberg_jx=-1.0, seed=6)
+    bonds = lattice.chain_bonds(N)
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(bonds, -1.0, 1.0)
+    opt = EnergyGradientOptimizer(wf, ham, config)
+    state = opt.init_state(jax.random.key(2))
+    epoch_fn = jax.jit(opt.epoch)
+    energies = []
+    for _ in range(40):
+        state, metrics = epoch_fn(state)
+        energies.append(float(metrics['energy']))
+    assert np.isfinite(energies).all()
+    assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.05
