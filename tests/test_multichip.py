@@ -140,3 +140,27 @@ def test_dryrun_multichip_entry():
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     module.dryrun_multichip(8)
+
+
+def test_sharded_itswo_epoch_runs():
+    """IT-SWO (supervisor pytree in extra{}) under shard_map."""
+    from cgs_vmc_tpu.optim import ImaginaryTimeSWO
+
+    n_dev = 4
+    config = Config(
+        num_sites=N, wavefunction_type='rbm', num_fc_layers=1,
+        fc_layer_size=8, batch_size=4 * n_dev, num_batches_per_epoch=2,
+        num_equilibration_sweeps=2, num_monte_carlo_sweeps=1,
+        heisenberg_jx=JX, time_evolution_beta=0.12, seed=13)
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(lattice.chain_bonds(N), JX, 1.0)
+    opt = ImaginaryTimeSWO(wf, ham, config)
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    state = opt.init_state(jax.random.key(0), config.batch_size)
+    _, metric_shapes = jax.eval_shape(opt.epoch, state)
+    epoch_fn = mesh_lib.sharded_epoch_fn(
+        opt.epoch, device_mesh, state, list(metric_shapes))
+    state = mesh_lib.shard_train_state(state, device_mesh)
+    state, metrics = epoch_fn(state)
+    assert np.isfinite(float(metrics['energy']))
+    assert np.isfinite(float(metrics['loss']))
