@@ -118,3 +118,26 @@ def test_params_only_roundtrip(tmp_path):
     restored = ckpt_lib.restore_params_only(path, template)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_keyed_lr_schedule():
+    """Piecewise-constant LR keyed on the EPOCH counter regardless of
+    update cadence (reference training.py:86-91)."""
+    import jax.numpy as jnp
+    from cgs_vmc_tpu.optim.common import make_optax_optimizer
+
+    config = Config(learning_rates=[1e-3, 1e-4, 2e-5, 1e-5],
+                    learning_rate_stops=[300, 600, 1000])
+    opt = make_optax_optimizer(config)
+    assert float(opt.learning_rate(jnp.int32(0))) == pytest.approx(1e-3)
+    assert float(opt.learning_rate(jnp.int32(299))) == pytest.approx(1e-3)
+    assert float(opt.learning_rate(jnp.int32(300))) == pytest.approx(1e-4)
+    assert float(opt.learning_rate(jnp.int32(999))) == pytest.approx(2e-5)
+    assert float(opt.learning_rate(jnp.int32(5000))) == pytest.approx(1e-5)
+
+
+def test_lr_schedule_validation():
+    with pytest.raises(ValueError, match='one more entry'):
+        from cgs_vmc_tpu.optim.common import make_optax_optimizer
+        make_optax_optimizer(Config(learning_rates=[1e-3],
+                                    learning_rate_stops=[10]))
