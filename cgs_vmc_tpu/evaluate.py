@@ -174,6 +174,36 @@ def evaluate_vector(
     return psi
 
 
+def exact_expectation(
+    wf: Wavefunction,
+    params: Params,
+    operator: Operator,
+    num_sites: int,
+    n_down: Optional[int] = None,
+    batch: int = 4096,
+) -> float:
+    """Deterministic <O> over the FULL fixed-Sz basis (no MCMC):
+    sum_R |ψ(R)|² O_loc(R) / sum_R |ψ(R)|².
+
+    The zero-variance / debugging companion to `evaluate_operator` —
+    practical up to num_sites ≈ 20.  Evaluated in batches so large
+    sectors don't blow up the connected-config fan-out.
+    """
+    states = basis_lib.enumerate_sz_basis(num_sites, n_down)
+    logs, values = [], []
+    for start in range(0, states.shape[0], batch):
+        chunk = jnp.asarray(states[start:start + batch])
+        amp = wf.apply(params, chunk)
+        logs.append(np.asarray(amp.log, np.float64))
+        values.append(np.asarray(
+            operator.local_value(wf, params, chunk, amp), np.float64))
+    logs = np.concatenate(logs)
+    values = np.concatenate(values)
+    weights = np.exp(2.0 * (logs - logs.max()))
+    weights /= weights.sum()
+    return float(np.sum(weights * values))
+
+
 def overlap_with_vector(psi: np.ndarray, reference_vector: np.ndarray
                         ) -> float:
     """|<psi|phi>| / (|psi||phi|) — fidelity against an ED vector."""

@@ -78,3 +78,11 @@ def test_evaluate_vector_and_overlap(tmp_path):
     lines = open(out_path).read().strip().split('\n')
     assert len(lines) == V0.shape[0]
     assert lines[0].startswith('(') and lines[0].endswith(')')
+
+
+def test_exact_expectation_matches_ed():
+    from cgs_vmc_tpu.evaluate import exact_expectation
+    wf, params = _exact_wf()
+    ham = HeisenbergHamiltonian(BONDS)
+    value = exact_expectation(wf, params, ham, N, batch=16)
+    np.testing.assert_allclose(value, E0, rtol=1e-5)
