@@ -82,8 +82,13 @@ def main(argv=None) -> int:
                            help='Checkpoint dir of the trained supervisor.')
     p_distill.add_argument('--resume', action='store_true')
 
-    p_eval = sub.add_parser('eval', help='Monte Carlo energy evaluation.')
+    p_eval = sub.add_parser('eval', help='Monte Carlo observable evaluation.')
     _add_common(p_eval)
+    p_eval.add_argument(
+        '--observable', default='energy',
+        help="What to measure: 'energy' (default), 'szsz:<distance>' "
+             "(spin-spin correlation at the given site offset), or "
+             "'staggered_m2' (squared staggered magnetization).")
 
     p_dump = sub.add_parser(
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
@@ -144,8 +149,29 @@ def main(argv=None) -> int:
 
         if args.command == 'eval':
             from cgs_vmc_tpu.evaluate import evaluate_operator
-            result = evaluate_operator(wf, state.params, hamiltonian, config)
-            print(f'Energy: {result.mean} +/- {result.error}')
+            observable = getattr(args, 'observable', 'energy')
+            if observable == 'energy':
+                operator, label = hamiltonian, 'Energy'
+            elif observable.startswith('szsz:'):
+                from cgs_vmc_tpu.ops.observables import SzSzCorrelation
+                distance = int(observable.split(':', 1)[1])
+                pairs = [(i, (i + distance) % config.num_sites)
+                         for i in range(config.num_sites)]
+                operator = SzSzCorrelation(pairs)
+                label = f'SzSz(d={distance})'
+            elif observable == 'staggered_m2':
+                from cgs_vmc_tpu import lattice as lattice_lib
+                from cgs_vmc_tpu.ops.observables import (
+                    StaggeredMagnetizationSquared)
+                sub_mask = lattice_lib.marshall_sublattice(
+                    config.num_sites, config.size_x, config.size_y)
+                operator = StaggeredMagnetizationSquared(sub_mask)
+                label = 'Staggered m^2'
+            else:
+                print(f'Unknown observable {observable!r}', file=sys.stderr)
+                return 1
+            result = evaluate_operator(wf, state.params, operator, config)
+            print(f'{label}: {result.mean} +/- {result.error}')
             print(f'Acceptance rate: {result.acceptance_rate:.4f}')
         else:
             from cgs_vmc_tpu.evaluate import evaluate_vector

@@ -194,3 +194,29 @@ def test_j_file_bonds(tmp_path):
     config2 = config.replace(j_file_path=str(other))
     ham2 = build_hamiltonian(config2)
     assert ham2.n_bonds == 1
+
+
+@pytest.mark.slow
+def test_cli_eval_observables(tmp_path, capsys):
+    run_dir = str(tmp_path / 'obs_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', str(N), '--num_epochs', '1',
+        '--wavefunction_type', 'rbm',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'num_fc_layers=1,fc_layer_size=8,batch_size=16,'
+        'num_batches_per_epoch=1,num_equilibration_sweeps=1',
+    ])
+    assert rc == 0
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'szsz:1',
+                   '--override', 'num_evaluation_samples=5'])
+    assert rc == 0
+    assert 'SzSz(d=1):' in capsys.readouterr().out
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'staggered_m2',
+                   '--override', 'num_evaluation_samples=5'])
+    assert rc == 0
+    assert 'Staggered m^2:' in capsys.readouterr().out
