@@ -175,3 +175,16 @@ def test_composite_mixed_output_activations():
     np.testing.assert_allclose(
         np.asarray(logamp.to_value(amp)),
         np.asarray(va, np.float64) + np.asarray(vb, np.float64), rtol=1e-4)
+
+
+def test_conv_bfloat16_compute_path():
+    """bf16 conv compute (f32 accumulate) stays close to the f32 path."""
+    base = _config('conv_2d', size_x=4, size_y=2)
+    wf32 = build_wavefunction(base)
+    wf16 = build_wavefunction(base.replace(compute_dtype='bfloat16'))
+    params = wf32.init(jax.random.key(7))
+    configs = _configs_batch()
+    log32 = np.asarray(wf32.apply(params, configs).log, np.float64)
+    log16 = np.asarray(wf16.apply(params, configs).log, np.float64)
+    np.testing.assert_allclose(log16, log32, atol=0.05)
+    assert not np.allclose(log16, log32, atol=1e-9)  # genuinely bf16
