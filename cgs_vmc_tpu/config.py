@@ -118,6 +118,10 @@ class Config:
     # Use the fused Pallas sweep kernel when the ansatz supports it
     # (pure RBM): O(hidden) incremental updates instead of full forwards.
     use_fast_sampler: bool = True
+    # Multiple-try Metropolis: propose this many candidates per step and
+    # evaluate them in one batched forward pass (0 = single-try).  Pays off
+    # for expensive ansatzes where per-step latency dominates.
+    mtm_candidates: int = 0
     # Checkpointing.
     checkpoint_frequency: int = 1
     max_checkpoints_to_keep: int = 5

@@ -126,10 +126,12 @@ def grad_global_norm(grads: Params) -> jax.Array:
 
 
 def make_sweeps_fn(wf: Wavefunction, config):
-    """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state,
-    dispatching to the fused Pallas kernel when the ansatz supports it
-    (pure RBM + config.use_fast_sampler), else the generic sampler."""
-    from cgs_vmc_tpu.sampler import fast_rbm, metropolis as mp
+    """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state.
+
+    Dispatch order: fused Pallas kernel (pure RBM on TPU, O(hidden)
+    incremental updates) > multiple-try Metropolis (config.mtm_candidates
+    > 0: batched candidate evaluation) > generic single-try sampler."""
+    from cgs_vmc_tpu.sampler import fast_rbm, metropolis as mp, mtm
 
     # The fused kernel only pays off where Mosaic compiles it natively;
     # on CPU the TPU-interpreter fallback is slower than the generic path.
@@ -139,6 +141,12 @@ def make_sweeps_fn(wf: Wavefunction, config):
         def fast(params, state, num_sweeps):
             return fast_rbm.run_sweeps(wf, params, state, num_sweeps)
         return fast
+
+    k = getattr(config, 'mtm_candidates', 0)
+    if k and k > 1:
+        def multi(params, state, num_sweeps):
+            return mtm.run_sweeps(wf, params, state, num_sweeps, k=k)
+        return multi
 
     def generic(params, state, num_sweeps):
         return mp.run_sweeps(wf, params, state, num_sweeps)
