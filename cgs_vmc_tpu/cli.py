@@ -87,8 +87,10 @@ def main(argv=None) -> int:
     p_eval.add_argument(
         '--observable', default='energy',
         help="What to measure: 'energy' (default), 'szsz:<distance>' "
-             "(spin-spin correlation at the given site offset), or "
-             "'staggered_m2' (squared staggered magnetization).")
+             "(spin-spin correlation at the given site offset), "
+             "'staggered_m2' (squared staggered magnetization), or "
+             "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
+             "momentum in units of pi; qy required iff size_y > 1).")
 
     p_dump = sub.add_parser(
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
@@ -159,6 +161,22 @@ def main(argv=None) -> int:
                          for i in range(config.num_sites)]
                 operator = SzSzCorrelation(pairs)
                 label = f'SzSz(d={distance})'
+            elif observable.startswith('sq:'):
+                import numpy as np
+                from cgs_vmc_tpu.ops.observables import (
+                    SpinStructureFactor, chain_positions, square_positions)
+                q = [float(v) * np.pi
+                     for v in observable.split(':', 1)[1].split(';')]
+                if config.size_y > 1:
+                    pos = square_positions(config.size_x, config.size_y)
+                else:
+                    pos = chain_positions(config.num_sites)
+                if len(q) != pos.shape[1]:
+                    print(f'S(q) needs {pos.shape[1]} momentum component(s)',
+                          file=sys.stderr)
+                    return 1
+                operator = SpinStructureFactor(q, pos)
+                label = f'S(q={observable.split(":", 1)[1]}pi)'
             elif observable == 'staggered_m2':
                 from cgs_vmc_tpu import lattice as lattice_lib
                 from cgs_vmc_tpu.ops.observables import (

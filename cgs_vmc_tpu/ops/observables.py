@@ -38,6 +38,54 @@ class SzSzCorrelation(Operator):
         return 0.25 * jnp.mean(s_i * s_j, axis=-1)
 
 
+class SpinStructureFactor(Operator):
+    """Momentum-resolved longitudinal structure factor
+
+        S(q) = (1/N) ⟨ |Σᵢ e^{i q·rᵢ} Sᶻᵢ|² ⟩
+
+    — diagonal in the computational basis.  For the AFM ordering vector
+    (q = π on a chain, q = (π, π) on the square lattice) this is N times
+    the staggered magnetization squared; generic q resolves the full
+    spin-ordering pattern.  The reference has no momentum-space
+    observables at all (cgs_vmc/evaluation.py ships only the energy).
+    """
+
+    def __init__(self, q: Sequence[float], positions: np.ndarray):
+        """q: momentum vector [dim]; positions: site coordinates [N, dim]."""
+        q = np.asarray(q, np.float64).reshape(-1)
+        positions = np.asarray(positions, np.float64)
+        if positions.ndim != 2 or positions.shape[1] != q.shape[0]:
+            raise ValueError(
+                f'positions must be [n_sites, {q.shape[0]}], '
+                f'got {positions.shape}')
+        phase = positions @ q                       # q·rᵢ, [n_sites]
+        self.cos_qr = jnp.asarray(np.cos(phase), jnp.float32)
+        self.sin_qr = jnp.asarray(np.sin(phase), jnp.float32)
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        del wf, params, amp  # diagonal observable
+        n = configs.shape[-1]
+        sz = 0.5 * configs
+        re = jnp.sum(sz * self.cos_qr, axis=-1)
+        im = jnp.sum(sz * self.sin_qr, axis=-1)
+        return (re ** 2 + im ** 2) / n
+
+
+def chain_positions(n_sites: int) -> np.ndarray:
+    """1-D chain site coordinates [N, 1] (unit spacing)."""
+    return np.arange(n_sites, dtype=np.float64)[:, None]
+
+
+def square_positions(size_x: int, size_y: int) -> np.ndarray:
+    """Square-lattice site coordinates [N, 2], row-major (x slow, y fast) —
+    matching the reference's flat-index convention
+    (cgs_vmc/wavefunctions.py:560-566 reshape to [size_x, size_y])."""
+    xs, ys = np.meshgrid(np.arange(size_x), np.arange(size_y), indexing='ij')
+    return np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float64)
+
+
 class StaggeredMagnetizationSquared(Operator):
     """(Σᵢ εᵢ Sᶻᵢ / N)² with εᵢ the ±1 sublattice sign — the standard AFM
     order parameter (diagonal)."""

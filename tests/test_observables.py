@@ -9,8 +9,11 @@ from cgs_vmc_tpu.config import Config
 from cgs_vmc_tpu.evaluate import evaluate_operator
 from cgs_vmc_tpu.models import FullVector
 from cgs_vmc_tpu.ops.observables import (
+    SpinStructureFactor,
     SzSzCorrelation,
     StaggeredMagnetizationSquared,
+    chain_positions,
+    square_positions,
 )
 from cgs_vmc_tpu.utils import ed
 
@@ -36,6 +39,57 @@ def test_szsz_correlation_matches_ed():
     result = evaluate_operator(wf, params, obs, config,
                                key=jax.random.key(4))
     assert abs(result.mean - exact) < 5 * max(result.error, 1e-4)
+
+
+def test_structure_factor_at_pi_equals_n_times_staggered_m2():
+    """S(q=π) on a chain = N · m_s² config-by-config (cos(π·i) is the
+    staggered sign, sin term vanishes on integer positions)."""
+    e0, v0 = ed.ground_state(N, BONDS)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+
+    sq = SpinStructureFactor([np.pi], chain_positions(N))
+    m2 = StaggeredMagnetizationSquared(lattice.marshall_sublattice(N))
+    np.testing.assert_allclose(
+        np.asarray(sq.local_value(wf, params, states)),
+        N * np.asarray(m2.local_value(wf, params, states)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_structure_factor_sum_rule_and_ed():
+    """Σ_q S(q) / N = ⟨(Sᶻ)²⟩ = 1/4 per config (sum rule over the full
+    Brillouin zone), and the q=π/2 MC estimate matches the ED value."""
+    e0, v0 = ed.ground_state(N, BONDS)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    weights = v0 ** 2 / np.sum(v0 ** 2)
+
+    qs = 2 * np.pi * np.arange(N) / N
+    pos = chain_positions(N)
+    totals = np.zeros(states.shape[0])
+    for q in qs:
+        totals += np.asarray(
+            SpinStructureFactor([q], pos).local_value(wf, params, states))
+    np.testing.assert_allclose(totals / N, 0.25, rtol=1e-5)
+
+    obs = SpinStructureFactor([np.pi / 2], pos)
+    exact = float(np.sum(
+        weights * np.asarray(obs.local_value(wf, params, states))))
+    config = Config(num_sites=N, batch_size=256,
+                    num_equilibration_sweeps=20, num_monte_carlo_sweeps=2,
+                    num_evaluation_samples=60)
+    result = evaluate_operator(wf, params, obs, config,
+                               key=jax.random.key(6))
+    assert abs(result.mean - exact) < 5 * max(result.error, 1e-4)
+
+
+def test_square_positions_layout():
+    pos = square_positions(2, 3)
+    # Row-major: site index = x * size_y + y.
+    np.testing.assert_array_equal(
+        pos, [[0, 0], [0, 1], [0, 2], [1, 0], [1, 1], [1, 2]])
 
 
 def test_staggered_magnetization():

@@ -220,3 +220,8 @@ def test_cli_eval_observables(tmp_path, capsys):
                    '--override', 'num_evaluation_samples=5'])
     assert rc == 0
     assert 'Staggered m^2:' in capsys.readouterr().out
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'sq:1',
+                   '--override', 'num_evaluation_samples=5'])
+    assert rc == 0
+    assert 'S(q=1pi):' in capsys.readouterr().out
