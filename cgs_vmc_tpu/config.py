@@ -101,7 +101,11 @@ class Config:
     # to 1.0, cgs_vmc/run_training.py:27-29,112-113).
     heisenberg_jx: float = 1.0
     heisenberg_jz: float = 1.0
-    j_file_path: str = ''        # bonds file (reference: J.txt in ckpt dir)
+    # Next-nearest-neighbour coupling J2/J1 (frustrated J1-J2 model on the
+    # chain or square lattice; 0 = plain nearest-neighbour Heisenberg).
+    heisenberg_j2: float = 0.0
+    j_file_path: str = ''        # bonds file: 'i j [J_ij]' rows
+                                 # (reference: J.txt in ckpt dir)
     # Chunk the connected-config local-energy fan-out over samples (0 = off);
     # needed when batch × n_bonds (× symmetry orbit) exceeds HBM.
     energy_chunk_samples: int = 0

@@ -60,29 +60,97 @@ def square_lattice_bonds(
     return np.asarray(unique, dtype=np.int32)
 
 
+def j1j2_chain_bonds(n_sites: int, periodic: bool = True
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Bonds of the J1–J2 chain: (bonds, j2_mask) where j2_mask is 1.0 on
+    next-nearest-neighbour bonds and 0.0 on nearest-neighbour bonds.
+    Per-bond couplings are then ``(1 - mask) + j2 * mask``."""
+    nn = chain_bonds(n_sites, periodic)
+    if periodic:
+        nnn = [(i, (i + 2) % n_sites) for i in range(n_sites)]
+    else:
+        nnn = [(i, i + 2) for i in range(n_sites - 2)]
+    bonds = np.concatenate([nn, np.asarray(nnn, np.int32)], axis=0)
+    mask = np.concatenate([np.zeros(len(nn)), np.ones(len(nnn))])
+    return bonds.astype(np.int32), mask.astype(np.float64)
+
+
+def j1j2_square_bonds(size_x: int, size_y: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """J1–J2 square lattice: nearest-neighbour bonds plus the two diagonal
+    next-nearest neighbours per plaquette (periodic).  Returns
+    (bonds, j2_mask) as in `j1j2_chain_bonds`."""
+    nn = square_lattice_bonds(size_x, size_y)
+
+    def site(x: int, y: int) -> int:
+        return (x % size_x) * size_y + (y % size_y)
+
+    diag, seen = [], set()
+    for x in range(size_x):
+        for y in range(size_y):
+            for (dx, dy) in ((1, 1), (1, -1)):
+                i, j = site(x, y), site(x + dx, y + dy)
+                key = (min(i, j), max(i, j))
+                if i == j or key in seen:
+                    continue
+                seen.add(key)
+                diag.append((i, j))
+    bonds = np.concatenate([nn, np.asarray(diag, np.int32)], axis=0)
+    mask = np.concatenate([np.zeros(len(nn)), np.ones(len(diag))])
+    return bonds.astype(np.int32), mask.astype(np.float64)
+
+
 def load_bonds(path: str) -> np.ndarray:
     """Loads a bond list from a whitespace-separated file of ``i j`` rows.
 
     Same format as the reference's ``J.txt`` (cgs_vmc/run_training.py:105-107:
     ``np.genfromtxt(path, dtype=int)`` then first two columns per row).
     """
-    data = np.genfromtxt(path, dtype=np.int64)
+    data = np.genfromtxt(path, dtype=np.float64)
     data = np.atleast_2d(data)
     return data[:, :2].astype(np.int32)
 
 
-def bonds_for_config(config) -> np.ndarray:
-    """Resolves the bond list for a run configuration.
+def load_bonds_and_couplings(path: str
+                             ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Loads ``i j [J_ij]`` rows: the reference's two-column J.txt format,
+    extended with an optional per-bond coupling third column (None when
+    the file has no coupling column)."""
+    data = np.atleast_2d(np.genfromtxt(path, dtype=np.float64))
+    bonds = data[:, :2].astype(np.int32)
+    couplings = data[:, 2].copy() if data.shape[1] >= 3 else None
+    return bonds, couplings
 
-    Priority: explicit J-file > 2-D square lattice (size_x*size_y ==
-    num_sites and both > 1) > 1-D periodic chain (the reference fallback).
+
+def bonds_for_config(config) -> np.ndarray:
+    """Resolves the bond list for a run configuration (couplings dropped —
+    use `bonds_and_couplings_for_config` for J1–J2 / weighted lattices)."""
+    return bonds_and_couplings_for_config(config)[0]
+
+
+def bonds_and_couplings_for_config(config
+                                   ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Resolves (bonds, per-bond couplings | None) for a run configuration.
+
+    Priority: explicit J-file (optional coupling column) > J1–J2 lattice
+    when ``heisenberg_j2 != 0`` (chain or square by geometry) > 2-D square
+    lattice (size_x*size_y == num_sites, both > 1) > 1-D periodic chain
+    (the reference fallback, cgs_vmc/run_training.py:103-109).
     """
     if config.j_file_path:
-        return load_bonds(config.j_file_path)
-    if (config.size_x > 1 and config.size_y > 1
-            and config.size_x * config.size_y == config.num_sites):
-        return square_lattice_bonds(config.size_x, config.size_y)
-    return chain_bonds(config.num_sites)
+        return load_bonds_and_couplings(config.j_file_path)
+    is_square = (config.size_x > 1 and config.size_y > 1
+                 and config.size_x * config.size_y == config.num_sites)
+    j2 = getattr(config, 'heisenberg_j2', 0.0)
+    if j2:
+        if is_square:
+            bonds, mask = j1j2_square_bonds(config.size_x, config.size_y)
+        else:
+            bonds, mask = j1j2_chain_bonds(config.num_sites)
+        return bonds, (1.0 - mask) + j2 * mask
+    if is_square:
+        return square_lattice_bonds(config.size_x, config.size_y), None
+    return chain_bonds(config.num_sites), None
 
 
 def marshall_sublattice(num_sites: int, size_x: int = 1, size_y: int = 1

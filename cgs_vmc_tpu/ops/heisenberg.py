@@ -61,7 +61,12 @@ class HeisenbergHamiltonian(Operator):
     """
 
     def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0,
-                 sample_chunk: int = 0):
+                 sample_chunk: int = 0,
+                 couplings: Optional[np.ndarray] = None):
+        """couplings: optional [n_bonds] per-bond factor J_b multiplying
+        both the diagonal and off-diagonal matrix elements (J1–J2 and
+        arbitrary weighted lattices; the reference's J.txt carried bare
+        bond indices only, cgs_vmc/run_training.py:105-107)."""
         bonds = np.asarray(bonds, dtype=np.int32)
         if bonds.ndim != 2 or bonds.shape[1] != 2:
             raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
@@ -70,6 +75,15 @@ class HeisenbergHamiltonian(Operator):
         self.j_x = float(j_x)
         self.j_z = float(j_z)
         self.sample_chunk = int(sample_chunk)
+        if couplings is None:
+            self.couplings = None
+        else:
+            couplings = np.asarray(couplings, np.float32).reshape(-1)
+            if couplings.shape[0] != self.n_bonds:
+                raise ValueError(
+                    f'couplings must be [n_bonds={self.n_bonds}], '
+                    f'got {couplings.shape}')
+            self.couplings = jnp.asarray(couplings)
 
     # ------------------------------------------------------------------
 
@@ -77,7 +91,10 @@ class HeisenbergHamiltonian(Operator):
         """Sum of Sz Sz matrix elements, [batch]."""
         s_i = configs[:, self.bonds[:, 0]]
         s_j = configs[:, self.bonds[:, 1]]
-        return 0.25 * self.j_z * jnp.sum(s_i * s_j, axis=-1)
+        terms = s_i * s_j
+        if self.couplings is not None:
+            terms = terms * self.couplings
+        return 0.25 * self.j_z * jnp.sum(terms, axis=-1)
 
     def connected(self, configs: jax.Array
                   ) -> Tuple[jax.Array, jax.Array]:
@@ -99,6 +116,8 @@ class HeisenbergHamiltonian(Operator):
             + (s_i - s_j)[..., None] * onehot_j[None]
         flipped = configs[:, None, :] + delta
         weights = 0.5 * self.j_x * (s_i * s_j < 0).astype(configs.dtype)
+        if self.couplings is not None:
+            weights = weights * self.couplings
         return flipped, weights
 
     def _offdiag_ratio_sum(self, wf: Wavefunction, params: Params,

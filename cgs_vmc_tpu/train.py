@@ -37,12 +37,13 @@ def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
         if os.path.exists(candidate):
             j_file = candidate
     if j_file:
-        bonds = lattice.load_bonds(j_file)
+        bonds, couplings = lattice.load_bonds_and_couplings(j_file)
     else:
-        bonds = lattice.bonds_for_config(config)
+        bonds, couplings = lattice.bonds_and_couplings_for_config(config)
     return HeisenbergHamiltonian(
         bonds, config.heisenberg_jx, config.heisenberg_jz,
-        sample_chunk=getattr(config, 'energy_chunk_samples', 0))
+        sample_chunk=getattr(config, 'energy_chunk_samples', 0),
+        couplings=couplings)
 
 
 def _make_epoch_fn(optimizer, state: TrainState, config: Config):

@@ -24,6 +24,7 @@ def heisenberg_matrix(
     j_z: float = 1.0,
     n_down: int | None = None,
     sparse: bool | None = None,
+    couplings: np.ndarray | None = None,
 ):
     """Builds the sector Hamiltonian over `enumerate_sz_basis` ordering.
 
@@ -36,21 +37,24 @@ def heisenberg_matrix(
         sparse = dim > 4096
     index = {s.astype(np.int8).tobytes(): r for r, s in enumerate(states)}
     bonds = np.asarray(bonds)
+    if couplings is None:
+        couplings = np.ones(bonds.shape[0], dtype=np.float64)
+    couplings = np.asarray(couplings, np.float64).reshape(-1)
 
     rows, cols, vals = [], [], []
     diag = np.zeros(dim, dtype=np.float64)
     for r in range(dim):
         s = states[r].astype(np.int8)
-        for (i, j) in bonds:
+        for b, (i, j) in enumerate(bonds):
             si, sj = int(s[i]), int(s[j])
-            diag[r] += 0.25 * j_z * si * sj
+            diag[r] += 0.25 * j_z * couplings[b] * si * sj
             if si != sj:
                 flipped = s.copy()
                 flipped[i], flipped[j] = sj, si
                 c = index[flipped.tobytes()]
                 rows.append(r)
                 cols.append(c)
-                vals.append(0.5 * j_x)
+                vals.append(0.5 * j_x * couplings[b])
     if sparse:
         import scipy.sparse as sp
         mat = sp.csr_matrix((vals, (rows, cols)), shape=(dim, dim))
@@ -73,9 +77,11 @@ def ground_state(
     j_x: float = 1.0,
     j_z: float = 1.0,
     n_down: int | None = None,
+    couplings: np.ndarray | None = None,
 ) -> tuple[float, np.ndarray]:
     """Exact ground-state (energy, sector vector)."""
-    mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down)
+    mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down,
+                            couplings=couplings)
     if hasattr(mat, 'toarray') and mat.shape[0] > 4096:
         import scipy.sparse.linalg as spla
         vals, vecs = spla.eigsh(mat, k=1, which='SA')
