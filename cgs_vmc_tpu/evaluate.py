@@ -64,7 +64,11 @@ def evaluate_operator(
         smp = sweeps_fn(params, smp, config.num_equilibration_sweeps)
 
         def step(smp, _):
-            value = jnp.mean(operator.local_value(wf, params, smp.configs))
+            # Re: complex-log ansatzes yield complex local values whose
+            # expectation is real (Hermitian O); the imaginary part is
+            # pure sampling noise.  No-op for real ansatzes.
+            value = jnp.real(jnp.mean(
+                operator.local_value(wf, params, smp.configs)))
             if axis_name is not None:
                 value = jax.lax.pmean(value, axis_name)
             smp = sweeps_fn(params, smp, config.num_monte_carlo_sweeps)
@@ -162,7 +166,7 @@ def evaluate_vector(
         logs.append(np.asarray(amp.log[:take]))
     sign = np.concatenate(signs)
     log = np.concatenate(logs)
-    psi = sign * np.exp(log - log.max())
+    psi = sign * np.exp(log - np.real(log).max())
 
     if output_path is None and config.checkpoint_dir:
         output_path = os.path.join(
@@ -170,7 +174,7 @@ def evaluate_vector(
     if output_path:
         with open(output_path, 'w') as f:
             for value in psi:
-                f.write(f'({value},{0.0})\n')
+                f.write(f'({np.real(value)},{np.imag(value)})\n')
     return psi
 
 
@@ -194,19 +198,21 @@ def exact_expectation(
     for start in range(0, states.shape[0], batch):
         chunk = jnp.asarray(states[start:start + batch])
         amp = wf.apply(params, chunk)
-        logs.append(np.asarray(amp.log, np.float64))
+        logs.append(np.real(np.asarray(amp.log)).astype(np.float64))
         values.append(np.asarray(
-            operator.local_value(wf, params, chunk, amp), np.float64))
+            operator.local_value(wf, params, chunk, amp)))
     logs = np.concatenate(logs)
     values = np.concatenate(values)
     weights = np.exp(2.0 * (logs - logs.max()))
     weights /= weights.sum()
-    return float(np.sum(weights * values))
+    return float(np.real(np.sum(weights * values)))
 
 
 def overlap_with_vector(psi: np.ndarray, reference_vector: np.ndarray
                         ) -> float:
-    """|<psi|phi>| / (|psi||phi|) — fidelity against an ED vector."""
-    psi = np.asarray(psi, np.float64)
-    phi = np.asarray(reference_vector, np.float64)
-    return float(abs(psi @ phi) / (np.linalg.norm(psi) * np.linalg.norm(phi)))
+    """|<psi|phi>| / (|psi||phi|) — fidelity against an ED vector
+    (complex-safe: conjugates psi)."""
+    psi = np.asarray(psi)
+    phi = np.asarray(reference_vector)
+    return float(abs(np.vdot(psi, phi))
+                 / (np.linalg.norm(psi) * np.linalg.norm(phi)))

@@ -36,9 +36,10 @@ from cgs_vmc_tpu.models.mps import MatrixProductState
 from cgs_vmc_tpu.models.determinant import FullyConnectedNNB, ProjectedBDG
 from cgs_vmc_tpu.models.full_vector import FullVector
 from cgs_vmc_tpu.models.graph_conv import GraphConvNetwork
+from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
 
 
-COMPOSITE_TYPES = ('sum', 'diff', 'prod')
+COMPOSITE_TYPES = ('sum', 'diff', 'prod', 'complex')
 
 
 def build_wavefunction(config) -> Wavefunction:
@@ -53,6 +54,10 @@ def build_wavefunction(config) -> Wavefunction:
     if wf_type in WAVEFUNCTION_TYPES:
         return maybe_symmetrize(
             WAVEFUNCTION_TYPES[wf_type].from_config(config), config)
+
+    if wf_type == 'complex':
+        from cgs_vmc_tpu.models.complex_phase import build_complex_wavefunction
+        return maybe_symmetrize(build_complex_wavefunction(config), config)
 
     if wf_type in COMPOSITE_TYPES:
         type_a, type_b = config.composite_wavefunction_types
@@ -81,5 +86,5 @@ __all__ = [
     'FullyConnectedNetwork', 'RestrictedBoltzmannNetwork',
     'Conv1DNetwork', 'Conv2DNetwork', 'ResNet1D', 'ResNet2D',
     'MatrixProductState', 'ProjectedBDG', 'FullyConnectedNNB',
-    'FullVector', 'GraphConvNetwork',
+    'FullVector', 'GraphConvNetwork', 'ComplexPhaseWavefunction',
 ]

@@ -25,6 +25,11 @@ class LogAmp(NamedTuple):
 
     sign: float array in {-1.0, 0.0, +1.0} (0 encodes an exact zero).
     log:  float array; for sign == 0, log should be -inf (or very negative).
+
+    Complex wavefunctions (frustrated models) use a COMPLEX ``log``:
+    log = log|psi| + i*phase, with ``sign`` still a real ±1 factor — so
+    |psi| = exp(Re log) and every modulus-based consumer (Metropolis
+    acceptance, SR centering) reads ``log.real``, a no-op for real models.
     """
     sign: jax.Array
     log: jax.Array
@@ -54,6 +59,12 @@ def scale(a: LogAmp, factor) -> LogAmp:
 
 def add(a: LogAmp, b: LogAmp) -> LogAmp:
     """psi_a + psi_b with cancellation-safe signed logsumexp."""
+    if jnp.iscomplexobj(a.log) or jnp.iscomplexobj(b.log):
+        m = jnp.maximum(jnp.real(a.log), jnp.real(b.log))
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        v = a.sign * jnp.exp(a.log - m) + b.sign * jnp.exp(b.log - m)
+        # log of a complex value = log|v| + i*arg(v): the phase rides along.
+        return LogAmp(jnp.ones_like(m), m + jnp.log(v))
     m = jnp.maximum(a.log, b.log)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # both -inf: avoid nan
     v = a.sign * jnp.exp(a.log - m) + b.sign * jnp.exp(b.log - m)
@@ -67,6 +78,12 @@ def sub(a: LogAmp, b: LogAmp) -> LogAmp:
 
 def sum_terms(signs: jax.Array, logs: jax.Array, axis: int = -1) -> LogAmp:
     """Signed logsumexp reduction: sum_k sign_k * exp(log_k) along `axis`."""
+    if jnp.iscomplexobj(logs):
+        m = jnp.max(jnp.real(logs), axis=axis, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        v = jnp.sum(signs * jnp.exp(logs - m), axis=axis)
+        m = jnp.squeeze(m, axis=axis)
+        return LogAmp(jnp.ones_like(m), m + jnp.log(v))
     m = jnp.max(logs, axis=axis, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     v = jnp.sum(signs * jnp.exp(logs - m), axis=axis)

@@ -108,7 +108,33 @@ def log_derivative_pullback(wf: Wavefunction, params: Params,
         return wf.apply(p, configs).log
 
     logs, vjp_fn = jax.vjp(log_fn, params)
+    if jnp.iscomplexobj(logs):
+        raise NotImplementedError(
+            'This optimizer path supports real-log ansatzes only; '
+            'complex-phase wavefunctions train with EnergyGradient or '
+            "SR (sr_solver='dense'), which use log_amp_phase_pullback.")
     return logs, lambda w: vjp_fn(w)[0]
+
+
+def log_amp_phase_pullback(wf: Wavefunction, params: Params,
+                           configs: jax.Array):
+    """Complex-log twin of `log_derivative_pullback`.
+
+    Returns (logs_complex, pullback) where
+      pullback(w_re, w_im) = d/dparams sum_b [w_re_b·log|psi_b|
+                                              + w_im_b·phase_b].
+    Splitting the complex log into two real outputs keeps the vjp free of
+    complex-cotangent conventions: O_k = ∂log|psi| + i·∂phase is consumed
+    as its real and imaginary parts directly (energy gradient: grad =
+    2·Re[⟨O*·(E−Ē)⟩] = 2[⟨O_r·E_r⟩c + ⟨O_i·E_i⟩c]).
+    """
+    def fn(p):
+        log = wf.apply(p, configs).log
+        return log.real, log.imag
+
+    (log_re, log_im), vjp_fn = jax.vjp(fn, params)
+    return (log_re + 1j * log_im,
+            lambda w_re, w_im: vjp_fn((w_re, w_im))[0])
 
 
 def tree_weighted_diff(g_scaled: Params, g_plain: Params, coeff) -> Params:

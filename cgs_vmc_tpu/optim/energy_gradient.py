@@ -69,8 +69,12 @@ class EnergyGradientOptimizer:
 
         n_batches = cfg.num_batches_per_epoch
         zero_grads = jax.tree.map(jnp.zeros_like, params)
+        # Complex-log ansatz? (static at trace time — the branch below
+        # compiles exactly one of the two moment pipelines).
+        is_complex = jnp.iscomplexobj(state.sampler.log_amp)
 
         def batch_step(carry, _):
+            """Real path: grad ∝ ⟨E·∇logψ⟩ − ⟨E⟩⟨∇logψ⟩."""
             smp, g_plain, g_scaled, e_sum, e2_sum = carry
             configs = smp.configs
             local_batch = configs.shape[0]
@@ -93,24 +97,67 @@ class EnergyGradientOptimizer:
             smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
             return (smp, g_plain, g_scaled, e_sum, e2_sum), None
 
-        init = (sampler, zero_grads, zero_grads,
-                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
-        (sampler, g_plain, g_scaled, e_mean, e2_mean), _ = lax.scan(
-            batch_step, init, None, length=n_batches)
+        def batch_step_complex(carry, _):
+            """Complex path: grad ∝ Re[⟨E*·O⟩ − ⟨E⟩*⟨O⟩] with
+            O = ∂log|ψ| + i·∂phase — i.e. ⟨E_r O_r⟩c + ⟨E_i O_i⟩c."""
+            smp, g_or, g_oi, g_scaled, e_sum, e2_sum = carry
+            configs = smp.configs
+            local_batch = configs.shape[0]
 
-        # Cross-device moment aggregation (replicates gradients everywhere).
-        g_plain = common.pmean(g_plain, axis_name)
-        g_scaled = common.pmean(g_scaled, axis_name)
-        e_mean = common.pmean(e_mean, axis_name)
-        e2_mean = common.pmean(e2_mean, axis_name)
+            logs, pullback = common.log_amp_phase_pullback(wf, params,
+                                                           configs)
+            amp = wf.apply(params, configs)
+            e_loc = lax.stop_gradient(
+                ham.local_value(wf, params, configs, amp))
+            e_re, e_im = jnp.real(e_loc), jnp.imag(e_loc)
 
-        grads = common.tree_weighted_diff(g_scaled, g_plain, e_mean)
+            inv = 1.0 / (local_batch * n_batches)
+            ones = jnp.full(local_batch, inv, jnp.float32)
+            zeros = jnp.zeros(local_batch, jnp.float32)
+            g_or = jax.tree.map(jnp.add, g_or, pullback(ones, zeros))
+            g_oi = jax.tree.map(jnp.add, g_oi, pullback(zeros, ones))
+            g_scaled = jax.tree.map(
+                jnp.add, g_scaled, pullback(e_re * inv, e_im * inv))
+            e_sum = e_sum + jnp.sum(e_loc) * inv
+            e2_sum = e2_sum + jnp.sum(jnp.abs(e_loc) ** 2) * inv
+
+            smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
+            return (smp, g_or, g_oi, g_scaled, e_sum, e2_sum), None
+
+        if is_complex:
+            init = (sampler, zero_grads, zero_grads, zero_grads,
+                    jnp.zeros((), jnp.complex64), jnp.zeros((), jnp.float32))
+            (sampler, g_or, g_oi, g_scaled, e_mean, e2_mean), _ = lax.scan(
+                batch_step_complex, init, None, length=n_batches)
+            g_or = common.pmean(g_or, axis_name)
+            g_oi = common.pmean(g_oi, axis_name)
+            g_scaled = common.pmean(g_scaled, axis_name)
+            e_mean = common.pmean(e_mean, axis_name)
+            e2_mean = common.pmean(e2_mean, axis_name)
+            grads = common.tree_weighted_diff(g_scaled, g_or,
+                                              jnp.real(e_mean))
+            grads = common.tree_weighted_diff(grads, g_oi, jnp.imag(e_mean))
+            energy = jnp.real(e_mean)
+            variance = e2_mean - jnp.abs(e_mean) ** 2
+        else:
+            init = (sampler, zero_grads, zero_grads,
+                    jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+            (sampler, g_plain, g_scaled, e_mean, e2_mean), _ = lax.scan(
+                batch_step, init, None, length=n_batches)
+            g_plain = common.pmean(g_plain, axis_name)
+            g_scaled = common.pmean(g_scaled, axis_name)
+            e_mean = common.pmean(e_mean, axis_name)
+            e2_mean = common.pmean(e2_mean, axis_name)
+            grads = common.tree_weighted_diff(g_scaled, g_plain, e_mean)
+            energy = e_mean
+            variance = e2_mean - e_mean ** 2
+
         params, opt_state = self.optax_opt.update(
             grads, state.opt_state, params, state.epoch)
 
         metrics = {
-            'energy': e_mean,
-            'energy_variance': e2_mean - e_mean ** 2,
+            'energy': energy,
+            'energy_variance': variance,
             'acceptance_rate': common.pmean(
                 metropolis.acceptance_rate(sampler), axis_name),
             'grad_norm': common.grad_global_norm(grads),

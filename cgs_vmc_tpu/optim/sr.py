@@ -96,13 +96,18 @@ class StochasticReconfiguration:
         amp = wf.apply(params, all_configs)
         e_loc = lax.stop_gradient(
             ham.local_value(wf, params, all_configs, amp))
+        is_complex = jnp.iscomplexobj(e_loc)
         e_mean = common.pmean(jnp.mean(e_loc), axis_name)
-        e2_mean = common.pmean(jnp.mean(e_loc ** 2), axis_name)
+        e2_mean = common.pmean(jnp.mean(jnp.abs(e_loc) ** 2), axis_name)
 
         def log_fn(p):
             return wf.apply(p, all_configs).log
 
         solver = cfg.sr_solver
+        if is_complex and solver != 'dense':
+            raise NotImplementedError(
+                "Complex-log ansatzes require sr_solver='dense' (the CG "
+                'matvec is real-Jacobian only).')
         if solver == 'dense':
             delta, grad_e, residual_norm = self._dense_solve(
                 all_configs, params, e_loc, e_mean, axis_name)
@@ -134,8 +139,8 @@ class StochasticReconfiguration:
             delta, state.opt_state, params, state.epoch)
 
         metrics = {
-            'energy': e_mean,
-            'energy_variance': e2_mean - e_mean ** 2,
+            'energy': jnp.real(e_mean),
+            'energy_variance': e2_mean - jnp.abs(e_mean) ** 2,
             'acceptance_rate': common.pmean(
                 metropolis.acceptance_rate(sampler), axis_name),
             'grad_norm': common.grad_global_norm(grad_e),
@@ -164,6 +169,7 @@ class StochasticReconfiguration:
         cfg = self.config
         flat_params, unravel = jax.flatten_util.ravel_pytree(params)
         wf = self.wf
+        is_complex = jnp.iscomplexobj(e_loc)
 
         # Per-sample gradient rows via vmap(grad): one batched backward
         # pass total.  (jacrev of the batched log would do O(M²) work —
@@ -171,29 +177,58 @@ class StochasticReconfiguration:
         def single_log(p_flat, config):
             return wf.apply(unravel(p_flat), config[None, :]).log[0]
 
-        jac = jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
-            flat_params, all_configs)                     # [M_local, P]
-        jac = jac - jnp.mean(jac, axis=0, keepdims=True)  # local centering
+        def center_and_gather(rows):
+            rows = rows - jnp.mean(rows, axis=0, keepdims=True)
+            if axis_name is not None:
+                # Gather shards so every device solves the identical global
+                # system (the [M, M] solve is tiny next to the matmuls);
+                # re-center with the GLOBAL mean.
+                rows = jax.lax.all_gather(rows, axis_name, axis=0,
+                                          tiled=True)
+                rows = rows - jnp.mean(rows, axis=0, keepdims=True)
+            return rows
 
-        eps = e_loc - e_mean                                # [M_local]
-        if axis_name is not None:
-            # Gather shards so every device solves the identical global
-            # system (the [M, M] solve is tiny next to the matmuls).
-            jac = jax.lax.all_gather(jac, axis_name, axis=0, tiled=True)
-            eps = jax.lax.all_gather(eps, axis_name, axis=0, tiled=True)
-            # Re-center with the GLOBAL mean.
-            jac = jac - jnp.mean(jac, axis=0, keepdims=True)
-        m_global = jac.shape[0]
+        if is_complex:
+            # Complex O_k = ∂log|ψ| + i·∂phase with REAL parameters: the
+            # metric S = Re⟨O*O⟩c and force f = Re⟨O*(E−Ē)⟩ are exactly
+            # the real least-squares problem over STACKED rows
+            # [Ō_re; Ō_im] · δ ≈ [Re ε; Im ε] — so the push-through /
+            # Cholesky machinery below applies unchanged with a [2M, 2M]
+            # sample-space system (divisor stays M, the sample count).
+            jac_re = jax.vmap(
+                jax.grad(lambda p, c: single_log(p, c).real),
+                in_axes=(None, 0))(flat_params, all_configs)
+            jac_im = jax.vmap(
+                jax.grad(lambda p, c: single_log(p, c).imag),
+                in_axes=(None, 0))(flat_params, all_configs)
+            jac = jnp.concatenate(
+                [center_and_gather(jac_re), center_and_gather(jac_im)],
+                axis=0)                                     # [2M, P]
+            eps_c = e_loc - e_mean
+            if axis_name is not None:
+                eps_c = jax.lax.all_gather(eps_c, axis_name, axis=0,
+                                           tiled=True)
+            eps = jnp.concatenate([jnp.real(eps_c), jnp.imag(eps_c)])
+            m_global = jac.shape[0] // 2
+        else:
+            jac = center_and_gather(
+                jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
+                    flat_params, all_configs))              # [M_local, P]
+            eps = e_loc - e_mean                            # [M_local]
+            if axis_name is not None:
+                eps = jax.lax.all_gather(eps, axis_name, axis=0, tiled=True)
+            m_global = jac.shape[0]
 
+        n_rows = jac.shape[0]  # M for real logs, 2M for complex (stacked)
         with jax.default_matmul_precision('highest'):
-            t_matrix = (jac @ jac.T) / m_global             # [M, M]
+            t_matrix = (jac @ jac.T) / m_global             # [rows, rows]
             # Scale-invariant regularization: shift relative to the mean
             # diagonal so conditioning doesn't depend on gradient scale
             # (an absolute shift under-regularizes large-Jacobian models
             # and the f32 Cholesky goes NaN).
             diag_scale = jnp.mean(jnp.diagonal(t_matrix)) + 1e-12
             t_matrix = t_matrix + (cfg.sr_diag_shift * diag_scale) * jnp.eye(
-                m_global, dtype=t_matrix.dtype)
+                n_rows, dtype=t_matrix.dtype)
             y = jax.scipy.linalg.solve(t_matrix, eps / m_global,
                                        assume_a='pos')      # [M]
             delta_flat = jac.T @ y                          # [P]

@@ -92,7 +92,10 @@ def mc_step(wf: Wavefunction, params: Params, state: SamplerState
     proposed, accept_u, new_keys = _propose_exchange(state.keys,
                                                      state.configs)
     amp_new = wf.apply(params, proposed)
-    accept = 2.0 * (amp_new.log - state.log_amp) > jnp.log(accept_u)
+    # .real: |psi| = exp(Re log) — no-op for real ansatzes, and the phase
+    # of a complex-log ansatz correctly never enters |psi|² sampling.
+    accept = (2.0 * jnp.real(amp_new.log - state.log_amp)
+              > jnp.log(accept_u))
     return SamplerState(
         configs=jnp.where(accept[:, None], proposed, state.configs),
         log_amp=jnp.where(accept, amp_new.log, state.log_amp),

@@ -68,7 +68,8 @@ def mtm_step(wf: Wavefunction, params: Params, state: SamplerState,
     # --- forward candidates ------------------------------------------------
     candidates, keys = _propose_k(state.keys, configs, k)
     amp_y = wf.apply(params, candidates.reshape(n_chains * k, n_sites))
-    log_pi_y = 2.0 * amp_y.log.reshape(n_chains, k)      # log |ψ(y)|²
+    # Re log: |ψ|² weights; phases of complex-log ansatzes never enter.
+    log_pi_y = 2.0 * jnp.real(amp_y.log).reshape(n_chains, k)
 
     def per_chain_keys(key):
         k_sel, k_acc, k_next = jax.random.split(key, 3)
@@ -86,11 +87,12 @@ def mtm_step(wf: Wavefunction, params: Params, state: SamplerState,
     if k > 1:
         refs, keys = _propose_k(keys, chosen, k - 1)
         amp_x = wf.apply(params, refs.reshape(n_chains * (k - 1), n_sites))
-        log_pi_refs = 2.0 * amp_x.log.reshape(n_chains, k - 1)
+        log_pi_refs = 2.0 * jnp.real(amp_x.log).reshape(n_chains, k - 1)
         log_pi_x = jnp.concatenate(
-            [log_pi_refs, 2.0 * state.log_amp[:, None]], axis=1)  # [chains,k]
+            [log_pi_refs, 2.0 * jnp.real(state.log_amp)[:, None]],
+            axis=1)                                          # [chains, k]
     else:
-        log_pi_x = 2.0 * state.log_amp[:, None]
+        log_pi_x = 2.0 * jnp.real(state.log_amp)[:, None]
 
     # --- acceptance: min(1, Σπ(y) / Σπ(x*)) --------------------------------
     log_w_y = jax.nn.logsumexp(log_pi_y, axis=1)

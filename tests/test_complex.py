@@ -1,0 +1,203 @@
+"""Complex-phase wavefunctions: exactness oracles + frustrated training.
+
+The reference framework is strictly real-amplitude; this validates the new
+complex-log capability end to end: log-domain algebra, batched local
+energy, |psi|² sampling, the complex energy-gradient estimator, and dense
+SR on the Majumdar-Ghosh point of the J1-J2 chain.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgs_vmc_tpu import basis, lattice
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import FullVector, build_wavefunction
+from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction, is_complex
+from cgs_vmc_tpu.ops import logamp
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import common
+from cgs_vmc_tpu.optim.energy_gradient import EnergyGradientOptimizer
+from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
+from cgs_vmc_tpu.sampler import metropolis
+from cgs_vmc_tpu.utils import ed
+
+N = 8
+
+
+def _j1j2(j2: float):
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    return bonds, (1.0 - mask) + j2 * mask
+
+
+def _exact_complex_state(seed: int = 0):
+    """A known complex state psi_R = m_R * exp(i*phi_R) as a wavefunction."""
+    rng = np.random.default_rng(seed)
+    dim = basis.enumerate_sz_basis(N).shape[0]
+    modulus = rng.uniform(0.2, 1.0, size=dim)
+    phi = rng.uniform(-2.0, 2.0, size=dim)
+    wf = ComplexPhaseWavefunction(
+        FullVector.for_sector(N, modulus.astype(np.float32)),
+        FullVector.for_sector(N, np.exp(phi).astype(np.float32)))
+    params = wf.init(jax.random.key(0))
+    return wf, params, modulus * np.exp(1j * phi)
+
+
+def test_complex_apply_and_logamp_algebra():
+    wf, params, psi = _exact_complex_state()
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    amp = wf.apply(params, states)
+    assert jnp.iscomplexobj(amp.log)
+    assert is_complex(wf, params, N)
+    np.testing.assert_allclose(
+        np.asarray(logamp.to_value(amp)), psi, rtol=1e-5)
+
+    # Signed logsumexp over complex terms == direct complex sum.
+    pair_logs = jnp.stack([amp.log, amp.log[::-1]], axis=-1)
+    pair_signs = jnp.stack([amp.sign, -amp.sign[::-1]], axis=-1)
+    total = logamp.sum_terms(pair_signs, pair_logs, axis=-1)
+    np.testing.assert_allclose(np.asarray(logamp.to_value(total)),
+                               psi - psi[::-1], rtol=1e-4, atol=1e-6)
+
+
+def test_complex_local_energy_matches_dense_matrix():
+    """E_loc(R) = (H psi)(R) / psi(R) for a complex state on the
+    frustrated J1-J2 chain — exact, per basis state."""
+    bonds, couplings = _j1j2(0.4)
+    wf, params, psi = _exact_complex_state()
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    mat = ed.heisenberg_matrix(N, bonds, couplings=couplings)
+    dense = mat.toarray() if hasattr(mat, 'toarray') else mat
+
+    ham = HeisenbergHamiltonian(bonds, couplings=couplings)
+    e_local = np.asarray(ham.local_value(wf, params, states))
+    assert np.iscomplexobj(e_local)
+    np.testing.assert_allclose(e_local, (dense @ psi) / psi, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_complex_sampler_born_distribution():
+    """|psi|² sampling must ignore the phase: chains driven by a complex
+    wavefunction reproduce the modulus-squared distribution."""
+    wf, params, psi = _exact_complex_state(seed=3)
+    state = metropolis.init_sampler(jax.random.key(1), wf, params, N, 256)
+    assert jnp.iscomplexobj(state.log_amp)
+    state = metropolis.jitted_sweeps(wf, params, state, 30)
+
+    top, bot = basis.make_lin_tables(N)
+    top, bot = jnp.asarray(top), jnp.asarray(bot)
+    states_np = basis.enumerate_sz_basis(N)
+    lin_of_enum = np.asarray(
+        basis.lin_index(jnp.asarray(states_np), top, bot))
+    enum_of_lin = np.empty_like(lin_of_enum)
+    enum_of_lin[lin_of_enum] = np.arange(len(lin_of_enum))
+
+    counts = np.zeros(len(psi))
+    for _ in range(50):
+        state = metropolis.jitted_sweeps(wf, params, state, 2)
+        idx = np.asarray(basis.lin_index(state.configs, top, bot))
+        np.add.at(counts, enum_of_lin[idx], 1)
+    empirical = counts / counts.sum()
+    exact = np.abs(psi) ** 2 / np.sum(np.abs(psi) ** 2)
+    tv = 0.5 * np.abs(empirical - exact).sum()
+    assert tv < 0.05, f'TV distance {tv} too large'
+
+
+def test_complex_gradient_formula_vs_rayleigh_autodiff():
+    """Full-basis estimator gradient (the formula the optimizer uses,
+    built from log_amp_phase_pullback) == 1/2 * autodiff of the exact
+    Rayleigh quotient — same half-scale convention the real path's
+    oracle test establishes."""
+    bonds, couplings = _j1j2(0.4)
+    config = Config(num_sites=N, wavefunction_type='complex',
+                    composite_wavefunction_types=('fully_connected',
+                                                  'fully_connected'),
+                    num_fc_layers=1, fc_layer_size=6)
+    wf = build_wavefunction(config)
+    params = wf.init(jax.random.key(2))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    mat = ed.heisenberg_matrix(N, bonds, couplings=couplings)
+    dense = jnp.asarray(mat.toarray() if hasattr(mat, 'toarray') else mat,
+                        jnp.complex64)
+
+    def rayleigh(p):
+        amp = wf.apply(p, states)
+        psi = amp.sign * jnp.exp(amp.log - jnp.real(amp.log).max())
+        num = jnp.vdot(psi, dense @ psi)
+        return jnp.real(num) / jnp.real(jnp.vdot(psi, psi))
+
+    exact_grad = jax.grad(rayleigh)(params)
+
+    ham = HeisenbergHamiltonian(bonds, couplings=couplings)
+    amp = wf.apply(params, states)
+    weights = jax.nn.softmax(2.0 * jnp.real(amp.log))      # exact |psi|²/Z
+    e_loc = ham.local_value(wf, params, states, amp)
+    e_mean = jnp.sum(weights * e_loc)
+    logs, pull = common.log_amp_phase_pullback(wf, params, states)
+    w = weights * (e_loc - e_mean)
+    est_grad = pull(jnp.real(w), jnp.imag(w))
+
+    for exact_leaf, est_leaf in zip(jax.tree.leaves(exact_grad),
+                                    jax.tree.leaves(est_grad)):
+        np.testing.assert_allclose(np.asarray(exact_leaf),
+                                   2.0 * np.asarray(est_leaf),
+                                   rtol=2e-3, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_complex_sr_trains_majumdar_ghosh():
+    """Dense SR with a complex fc+fc ansatz descends to the exact
+    Majumdar-Ghosh energy E0 = -3N/8 on the frustrated J1-J2 chain —
+    the physics a positive (Marshall-gauge) ansatz cannot represent."""
+    config = Config(
+        num_sites=N, wavefunction_type='complex',
+        composite_wavefunction_types=('fully_connected', 'fully_connected'),
+        num_fc_layers=1, fc_layer_size=16,
+        heisenberg_j2=0.5,
+        batch_size=256, num_batches_per_epoch=4,
+        num_equilibration_sweeps=10, num_monte_carlo_sweeps=1,
+        optimizer='gradient', learning_rates=[0.05, 0.02],
+        learning_rate_stops=[40],
+        sr_solver='dense', sr_diag_shift=1e-3, sr_delta_clip=10.0,
+        seed=7)
+    wf = build_wavefunction(config)
+    bonds, couplings = _j1j2(0.5)
+    ham = HeisenbergHamiltonian(bonds, couplings=couplings)
+    opt = StochasticReconfiguration(wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(150):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    e0 = -3.0 * N / 8.0
+    final = np.mean(energies[-10:])
+    assert final < -2.85, f'SR failed to descend: E={final} vs E0={e0}'
+    assert abs(final - e0) / abs(e0) < 0.05
+
+
+def test_complex_energy_gradient_descends():
+    """The EnergyGradient complex branch lowers the energy."""
+    config = Config(
+        num_sites=N, wavefunction_type='complex',
+        composite_wavefunction_types=('fully_connected', 'fully_connected'),
+        num_fc_layers=1, fc_layer_size=10,
+        heisenberg_j2=0.5,
+        batch_size=128, num_batches_per_epoch=4,
+        num_equilibration_sweeps=10, num_monte_carlo_sweeps=1,
+        optimizer='adam', learning_rates=[0.02], learning_rate_stops=[],
+        seed=11)
+    wf = build_wavefunction(config)
+    bonds, couplings = _j1j2(0.5)
+    ham = HeisenbergHamiltonian(bonds, couplings=couplings)
+    opt = EnergyGradientOptimizer(wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(25):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.3
