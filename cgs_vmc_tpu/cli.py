@@ -96,6 +96,19 @@ def main(argv=None) -> int:
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
     _add_common(p_dump)
 
+    p_evolve = sub.add_parser(
+        'evolve', help='t-VMC time evolution from a trained checkpoint.')
+    _add_common(p_evolve)
+    p_evolve.add_argument('--dt', type=float, default=0.005,
+                          help='Integrator time step.')
+    p_evolve.add_argument('--steps', type=int, default=100,
+                          help='Number of dt steps.')
+    p_evolve.add_argument('--mode', choices=('real', 'imag'), default='real',
+                          help="'real' = unitary dynamics (complex ansatz); "
+                               "'imag' = normalized imaginary-time flow.")
+    p_evolve.add_argument('--integrator', choices=('euler', 'heun'),
+                          default='heun')
+
     args = parser.parse_args(argv)
 
     if args.command == 'train':
@@ -119,7 +132,7 @@ def main(argv=None) -> int:
         distill(config, resume=args.resume)
         return 0
 
-    if args.command in ('eval', 'dump'):
+    if args.command in ('eval', 'dump', 'evolve'):
         import jax
         from cgs_vmc_tpu import models
         from cgs_vmc_tpu.train import build_hamiltonian
@@ -191,6 +204,23 @@ def main(argv=None) -> int:
             result = evaluate_operator(wf, state.params, operator, config)
             print(f'{label}: {result.mean} +/- {result.error}')
             print(f'Acceptance rate: {result.acceptance_rate:.4f}')
+        elif args.command == 'evolve':
+            import json
+            from cgs_vmc_tpu.optim.tvmc import TimeEvolution
+            evo = TimeEvolution(wf, hamiltonian, config, dt=args.dt,
+                                mode=args.mode, integrator=args.integrator)
+            sampler = state.sampler
+            sampler = jax.jit(lambda s: evo.sweeps(
+                state.params, s, config.num_equilibration_sweeps))(sampler)
+            params, sampler, records = evo.evolve(
+                state.params, sampler, args.steps)
+            out_path = os.path.join(run_dir, 'evolution.jsonl')
+            with open(out_path, 'w') as f:
+                for i, rec in enumerate(records):
+                    f.write(json.dumps({'t': (i + 1) * args.dt, **rec}) + '\n')
+            print(f'Evolved {args.steps} steps of dt={args.dt} ({args.mode} '
+                  f'time); trajectory in {out_path}')
+            print(f"Final energy: {records[-1]['energy']}")
         else:
             from cgs_vmc_tpu.evaluate import evaluate_vector
             psi = evaluate_vector(wf, state.params, config)

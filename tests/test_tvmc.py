@@ -144,6 +144,35 @@ def test_real_time_requires_complex_ansatz():
 
 
 @pytest.mark.slow
+def test_cli_evolve(tmp_path, capsys):
+    """Train a tiny complex ansatz, then `cgs evolve` it in imaginary time."""
+    from cgs_vmc_tpu.cli import main as cli_main
+    run_dir = str(tmp_path / 'evolve_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', str(N), '--num_epochs', '1',
+        '--wavefunction_type', 'complex',
+        '--optimizer_type', 'EnergyGradient',
+        '--override',
+        "composite_wavefunction_types=[fully_connected;fully_connected],"
+        'num_fc_layers=1,fc_layer_size=6,batch_size=16,'
+        'num_batches_per_epoch=1,num_equilibration_sweeps=1,'
+        'heisenberg_j2=0.5',
+    ])
+    assert rc == 0
+    rc = cli_main(['evolve', '--checkpoint_dir', run_dir,
+                   '--dt', '0.01', '--steps', '3', '--mode', 'imag',
+                   '--override', 'num_equilibration_sweeps=2'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'Final energy:' in out
+    import json as json_lib
+    with open(f'{run_dir}/evolution.jsonl') as f:
+        lines = [json_lib.loads(line) for line in f]
+    assert len(lines) == 3 and np.isfinite(lines[-1]['energy'])
+
+
+@pytest.mark.slow
 def test_time_evolution_driver_mc_sampling():
     """The MC-sampled TimeEvolution driver approximately conserves energy
     over a short real-time window (complex fc ansatz, J1-J2 quench)."""
