@@ -111,7 +111,10 @@ class Config:
     energy_chunk_samples: int = 0
     # Stochastic reconfiguration (new optimizer; absent from reference).
     sr_diag_shift: float = 1e-3
-    sr_solver: str = 'dense'      # 'dense' (sample-space minSR) | 'cg'
+    # 'dense' (sample-space minSR, Jacobian all-gathered, Cholesky) |
+    # 'sample_cg' (same system, Jacobian kept sharded, CG — O(M_local·P)
+    # memory for multi-chip scale) | 'cg' (parameter-space matrix-free).
+    sr_solver: str = 'dense'
     sr_cg_tol: float = 1e-6
     sr_cg_maxiter: int = 100
     sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|

@@ -104,12 +104,16 @@ class StochasticReconfiguration:
             return wf.apply(p, all_configs).log
 
         solver = cfg.sr_solver
-        if is_complex and solver != 'dense':
+        if is_complex and solver == 'cg':
             raise NotImplementedError(
-                "Complex-log ansatzes require sr_solver='dense' (the CG "
-                'matvec is real-Jacobian only).')
+                "Complex-log ansatzes require sr_solver='dense' or "
+                "'sample_cg' (the parameter-space CG matvec is "
+                'real-Jacobian only).')
         if solver == 'dense':
             delta, grad_e, residual_norm = self._dense_solve(
+                all_configs, params, e_loc, e_mean, axis_name)
+        elif solver == 'sample_cg':
+            delta, grad_e, residual_norm = self._sample_cg_solve(
                 all_configs, params, e_loc, e_mean, axis_name)
         else:
             delta, grad_e, residual_norm = self._cg_solve(
@@ -244,6 +248,100 @@ class StochasticReconfiguration:
             s_delta + (cfg.sr_diag_shift * diag_scale) * delta_flat
             - grad_flat)
         return delta, grad_e, residual_norm
+
+    def _sample_cg_solve(self, all_configs, params, e_loc, e_mean,
+                         axis_name):
+        """minSR at scale: the SAME sample-space system as `_dense_solve`
+        — (J Jᵀ/M + εI) y = ε̄/M, δ = Jᵀy — but solved by CG with the
+        Jacobian kept SHARDED over the chains axis.  Per iteration:
+        u = psum(J_locᵀ x_loc) ∈ R^P over ICI, then J_loc u — two local
+        GEMMs + one [P] collective.  Memory is O(M_local × P) per device
+        (vs `_dense_solve`'s all-gathered O(M_global × P)), and for
+        k ≪ M iterations the FLOPs (2kMP) undercut the explicit [M, M]
+        assembly (M²P).  Rounding behaves: both matvec GEMMs act on the
+        explicitly centered Jacobian, unlike the parameter-space `_cg_solve`
+        whose jvp/vjp chains re-derive it each pass (ROADMAP 'dense SR at
+        scale' item)."""
+        cfg = self.config
+        flat_params, unravel = jax.flatten_util.ravel_pytree(params)
+        wf = self.wf
+        is_complex = jnp.iscomplexobj(e_loc)
+
+        def single_log(p_flat, config):
+            return wf.apply(unravel(p_flat), config[None, :]).log[0]
+
+        def psum(x):
+            return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+        n_dev = 1 if axis_name is None else jax.lax.psum(1, axis_name)
+        m_global = all_configs.shape[0] * n_dev
+
+        def center(rows):
+            # Global column means without gathering rows.
+            mean = psum(jnp.sum(rows, axis=0, keepdims=True)) / m_global
+            return rows - mean
+
+        eps_c = e_loc - e_mean
+        if is_complex:
+            jac_re = jax.vmap(
+                jax.grad(lambda p, c: single_log(p, c).real),
+                in_axes=(None, 0))(flat_params, all_configs)
+            jac_im = jax.vmap(
+                jax.grad(lambda p, c: single_log(p, c).imag),
+                in_axes=(None, 0))(flat_params, all_configs)
+            jac = jnp.concatenate([center(jac_re), center(jac_im)],
+                                  axis=0)                   # [2M_loc, P]
+            b = jnp.concatenate([jnp.real(eps_c), jnp.imag(eps_c)])
+        else:
+            jac = center(jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
+                flat_params, all_configs))                  # [M_loc, P]
+            b = eps_c
+        b = b / m_global
+
+        # Scale-invariant shift relative to the mean diagonal of JJᵀ/M:
+        # mean_i(||row_i||²/M) = Σ||rows||² / (n_rows_global · M).
+        n_rows_global = jac.shape[0] * n_dev
+        diag_scale = psum(jnp.sum(jac * jac)) / (n_rows_global * m_global)
+        shift = cfg.sr_diag_shift * (diag_scale + 1e-12)
+
+        with jax.default_matmul_precision('highest'):
+            def matvec(x_loc):
+                u = psum(jac.T @ x_loc)                     # [P] replicated
+                return jac @ u / m_global + shift * x_loc
+
+            def dot(a_loc, b_loc):
+                return psum(jnp.vdot(a_loc, b_loc))
+
+            # Plain CG with psum'd inner products (jax.scipy's cg would
+            # compute shard-local dots — wrong under shard_map).
+            x0 = jnp.zeros_like(b)
+            r0 = b  # x0 = 0
+            state0 = (x0, r0, r0, dot(r0, r0), jnp.asarray(0, jnp.int32))
+            b_norm2 = dot(b, b)
+            tol2 = (cfg.sr_cg_tol ** 2) * b_norm2
+
+            def cond(s):
+                _, _, _, rs, it = s
+                return jnp.logical_and(it < cfg.sr_cg_maxiter, rs > tol2)
+
+            def body(s):
+                x, r, p, rs, it = s
+                ap = matvec(p)
+                alpha = rs / (dot(p, ap) + 1e-38)
+                x = x + alpha * p
+                r = r - alpha * ap
+                rs_new = dot(r, r)
+                p = r + (rs_new / (rs + 1e-38)) * p
+                return (x, r, p, rs_new, it + 1)
+
+            y, r, _, _, _ = lax.while_loop(cond, body, state0)
+
+            delta_flat = psum(jac.T @ y)                    # δ = Jᵀ y
+            grad_flat = psum(jac.T @ b)                     # g = Jᵀ ε̄/M
+            # Parameter-space residual: Jᵀ(sample residual) = Sδ + εδ − g.
+            resid_param = psum(jac.T @ (matvec(y) - b))
+        residual_norm = jnp.linalg.norm(resid_param)
+        return unravel(delta_flat), unravel(grad_flat), residual_norm
 
     def _cg_solve(self, log_fn, params, e_loc, e_mean, m_local, axis_name):
         """Matrix-free CG in parameter space (O(params) memory)."""

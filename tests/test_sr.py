@@ -66,6 +66,91 @@ def test_dense_solver_matches_explicit_s_matrix():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_sample_cg_matches_dense_single_device():
+    """The sharded-Jacobian sample-space CG solves the SAME system as the
+    dense Cholesky path (single device: identical Jacobian, same shift)."""
+    config, wf, opt = _setup('sample_cg')
+    params = wf.init(jax.random.key(5))
+    configs = basis.random_configurations(jax.random.key(6), N, 64)
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_mean = jnp.mean(e_loc)
+
+    delta_cg, grad_cg, _ = opt._sample_cg_solve(
+        configs, params, e_loc, e_mean, None)
+    _, wf_d, opt_dense = _setup('dense')
+    delta_d, grad_d, _ = opt_dense._dense_solve(
+        configs, params, e_loc, e_mean, None)
+    for a, b in zip(jax.tree.leaves(delta_cg), jax.tree.leaves(delta_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(grad_cg), jax.tree.leaves(grad_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_sample_cg_sharded_matches_single_device():
+    """Sharding the Jacobian over an 8-device mesh must not change the
+    solution: psum'd matvecs/dots reproduce the single-device solve."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from cgs_vmc_tpu.parallel import mesh as mesh_lib
+
+    config, wf, opt = _setup('sample_cg')
+    params = wf.init(jax.random.key(7))
+    configs = basis.random_configurations(jax.random.key(8), N, 64)
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_mean = jnp.mean(e_loc)
+    delta_single, _, _ = opt._sample_cg_solve(
+        configs, params, e_loc, e_mean, None)
+
+    device_mesh = mesh_lib.make_mesh(8)
+    param_specs = jax.tree.map(lambda _: P(), params)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(P(mesh_lib.CHAINS_AXIS), param_specs,
+                       P(mesh_lib.CHAINS_AXIS)),
+             out_specs=param_specs, check_vma=False)
+    def sharded_solve(configs_shard, p, e_shard):
+        e_m = jax.lax.pmean(jnp.mean(e_shard), mesh_lib.CHAINS_AXIS)
+        delta, _, _ = opt._sample_cg_solve(
+            configs_shard, p, e_shard, e_m, mesh_lib.CHAINS_AXIS)
+        return delta
+
+    delta_sharded = sharded_solve(configs, params, e_loc)
+    for a, b in zip(jax.tree.leaves(delta_sharded),
+                    jax.tree.leaves(delta_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_sample_cg_complex_epoch_descends():
+    """sample_cg accepts complex-log ansatzes (stacked re/im rows)."""
+    config = Config(num_sites=N, wavefunction_type='complex',
+                    composite_wavefunction_types=('fully_connected',
+                                                  'fully_connected'),
+                    num_fc_layers=1, fc_layer_size=8,
+                    heisenberg_j2=0.5,
+                    batch_size=128, num_batches_per_epoch=2,
+                    num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+                    optimizer='gradient', learning_rates=[0.05],
+                    learning_rate_stops=[],
+                    sr_solver='sample_cg', sr_diag_shift=1e-3,
+                    sr_cg_maxiter=200, sr_cg_tol=1e-8,
+                    sr_delta_clip=10.0, seed=9)
+    wf = build_wavefunction(config)
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    ham = HeisenbergHamiltonian(bonds, couplings=(1.0 - mask) + 0.5 * mask)
+    opt = StochasticReconfiguration(wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(20):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    assert np.mean(energies[-4:]) < np.mean(energies[:4]) - 0.5
+
+
 def test_cg_solver_matches_dense():
     """CG (absolute shift) equals dense (relative shift) when the CG config
     is given the dense solver's effective epsilon."""
