@@ -132,6 +132,7 @@ class Config:
     # Checkpointing.
     checkpoint_frequency: int = 1
     max_checkpoints_to_keep: int = 5
+    checkpoint_backend: str = 'msgpack'   # 'msgpack' | 'orbax'
     # Profiling: when set, a jax.profiler trace of the first post-compile
     # epoch is written here (TensorBoard-compatible).
     profile_dir: str = ''

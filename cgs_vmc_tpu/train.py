@@ -105,7 +105,8 @@ def train(config: Config, resume: bool = False,
     for epoch in range(start_epoch, config.num_epochs):
         if out_dir and epoch % config.checkpoint_frequency == 0:
             ckpt_lib.save_checkpoint(out_dir, state, epoch,
-                                     config.max_checkpoints_to_keep)
+                                     config.max_checkpoints_to_keep,
+                                     backend=config.checkpoint_backend)
         # Trace the second epoch (the first pays compilation).
         trace_dir = (config.profile_dir
                      if config.profile_dir and epoch == start_epoch + 1
@@ -117,7 +118,8 @@ def train(config: Config, resume: bool = False,
 
     if out_dir:
         ckpt_lib.save_checkpoint(out_dir, state, config.num_epochs,
-                                 config.max_checkpoints_to_keep)
+                                 config.max_checkpoints_to_keep,
+                                 backend=config.checkpoint_backend)
     return state
 
 
@@ -178,6 +180,7 @@ def distill(config: Config, resume: bool = False,
         state, metrics = epoch_fn(state)
         if out_dir and (epoch + 1) % config.checkpoint_frequency == 0:
             ckpt_lib.save_checkpoint(out_dir, state, epoch + 1,
-                                     config.max_checkpoints_to_keep)
+                                     config.max_checkpoints_to_keep,
+                                     backend=config.checkpoint_backend)
         logger.log(epoch + 1, metrics)
     return state

@@ -4,8 +4,14 @@ The reference checkpointed ONLY trainable variables via tf.train.Saver
 (max_to_keep=5) and silently dropped sampler state and the non-trainable
 norm shift on resume (cgs_vmc/run_training.py:134-139; SURVEY.md §5.4).
 Here the ENTIRE TrainState pytree — params, optimizer state, sampler
-configs/RNG/stats, epoch counter, optimizer extras — round-trips through
-flax.serialization msgpack, so a resumed run continues bit-exactly.
+configs/RNG/stats, epoch counter, optimizer extras — round-trips, so a
+resumed run continues bit-exactly.
+
+Two backends (config.checkpoint_backend):
+ * 'msgpack' (default): one flax.serialization file per checkpoint —
+   simple, portable, append-friendly for artifact hand-off.
+ * 'orbax': orbax.checkpoint StandardCheckpointer directories — async-
+   capable, sharding-aware restore for large multi-host states.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from flax import serialization
 
 
 _CKPT_RE = re.compile(r'ckpt_epoch_(\d+)\.msgpack$')
+_ORBAX_RE = re.compile(r'ckpt_epoch_(\d+)\.orbax$')
 
 
 def _is_key_array(x) -> bool:
@@ -50,43 +57,70 @@ def _decode_keys(tree: Any, template: Any) -> Any:
                         is_leaf=lambda x: _is_key_array(x))
 
 
-def save_checkpoint(directory: str, state: Any, epoch: int,
-                    max_to_keep: int = 5) -> str:
-    """Writes ckpt_epoch_{epoch}.msgpack and rotates old checkpoints."""
-    os.makedirs(directory, exist_ok=True)
-    path = os.path.join(directory, f'ckpt_epoch_{epoch}.msgpack')
-    host_state = jax.device_get(_encode_keys(state))
-    payload = serialization.to_bytes(host_state)
-    tmp = path + '.tmp'
-    with open(tmp, 'wb') as f:
-        f.write(payload)
-    os.replace(tmp, path)
+def _all_checkpoints(directory: str):
+    """Sorted (epoch, path) pairs across both backends."""
+    found = []
+    for p in glob.glob(os.path.join(directory, 'ckpt_epoch_*')):
+        m = _CKPT_RE.search(p) or _ORBAX_RE.search(p)
+        if m:
+            found.append((int(m.group(1)), p))
+    return sorted(found)
 
-    checkpoints = sorted(
-        ((int(_CKPT_RE.search(p).group(1)), p)
-         for p in glob.glob(os.path.join(directory, 'ckpt_epoch_*.msgpack'))
-         if _CKPT_RE.search(p)),
-    )
+
+def save_checkpoint(directory: str, state: Any, epoch: int,
+                    max_to_keep: int = 5, backend: str = 'msgpack') -> str:
+    """Writes ckpt_epoch_{epoch}.{msgpack|orbax} and rotates old ones."""
+    os.makedirs(directory, exist_ok=True)
+    if backend == 'orbax':
+        import shutil
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(
+            os.path.join(directory, f'ckpt_epoch_{epoch}.orbax'))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(path, jax.device_get(_encode_keys(state)))
+    elif backend == 'msgpack':
+        path = os.path.join(directory, f'ckpt_epoch_{epoch}.msgpack')
+        host_state = jax.device_get(_encode_keys(state))
+        payload = serialization.to_bytes(host_state)
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    else:
+        raise ValueError(f'Unknown checkpoint backend {backend!r} '
+                         "(known: 'msgpack', 'orbax')")
+
+    checkpoints = _all_checkpoints(directory)
     for _, old in checkpoints[:-max_to_keep] if max_to_keep else []:
-        os.remove(old)
+        if os.path.isdir(old):
+            import shutil
+            shutil.rmtree(old)
+        else:
+            os.remove(old)
     return path
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    checkpoints = sorted(
-        ((int(_CKPT_RE.search(p).group(1)), p)
-         for p in glob.glob(os.path.join(directory, 'ckpt_epoch_*.msgpack'))
-         if _CKPT_RE.search(p)),
-    )
+    checkpoints = _all_checkpoints(directory)
     return checkpoints[-1][1] if checkpoints else None
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restores a state pytree saved by save_checkpoint.
+    """Restores a state pytree saved by save_checkpoint (either backend).
 
     `template` must be a structurally identical state (e.g. from
     optimizer.init_state with the same config) providing shapes/dtypes.
     """
+    if path.endswith('.orbax'):
+        import orbax.checkpoint as ocp
+        encoded_template = jax.device_get(_encode_keys(template))
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                encoded_template)
+        with ocp.StandardCheckpointer() as checkpointer:
+            restored = checkpointer.restore(os.path.abspath(path), abstract)
+        return _decode_keys(restored, template)
     with open(path, 'rb') as f:
         payload = f.read()
     encoded_template = jax.device_get(_encode_keys(template))

@@ -77,6 +77,32 @@ def test_checkpoint_roundtrip_full_state(tmp_path):
     assert int(restored.epoch) == int(state.epoch)
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    """The orbax backend round-trips the full TrainState (incl. PRNG
+    keys) and interoperates with latest_checkpoint/restore dispatch."""
+    directory = str(tmp_path)
+    _, _, opt, state = _make_state()
+    state, _ = jax.jit(opt.epoch)(state)
+
+    path = ckpt_lib.save_checkpoint(directory, state, epoch=2,
+                                    backend='orbax')
+    assert path.endswith('.orbax')
+    assert ckpt_lib.latest_checkpoint(directory) == path
+    template = _make_state(seed=99)[3]
+    restored = ckpt_lib.restore_checkpoint(path, template)
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(a))
+            if ckpt_lib._is_key_array(a) else np.asarray(a),
+            np.asarray(jax.random.key_data(b))
+            if ckpt_lib._is_key_array(b) else np.asarray(b))
+
+    # Mixed-backend rotation: newest (by epoch) wins regardless of backend.
+    ckpt_lib.save_checkpoint(directory, state, epoch=3, backend='msgpack')
+    assert ckpt_lib.latest_checkpoint(directory).endswith('.msgpack')
+
+
 def test_resume_is_bit_exact(tmp_path):
     """Epoch after save/restore == epoch without the round-trip."""
     directory = str(tmp_path)
