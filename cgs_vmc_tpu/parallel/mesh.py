@@ -22,8 +22,33 @@ from cgs_vmc_tpu.optim.common import TrainState
 CHAINS_AXIS = 'chains'
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host (DCN) initialization for evaluation farms / big sweeps.
+
+    Call ONCE per process before any other JAX operation; afterwards
+    `jax.devices()` spans every host and `make_mesh()` builds a global
+    chains mesh — Markov chains are embarrassingly parallel, so the only
+    cross-host traffic is the pmean of estimator moments (SURVEY.md §2.7:
+    the reference had no communication backend at all).  Arguments default
+    to cluster auto-detection (GKE/Slurm env vars).  Returns the process
+    index.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes is not None:
+        kwargs['num_processes'] = num_processes
+    if process_id is not None:
+        kwargs['process_id'] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over the first `num_devices` local devices."""
+    """1-D mesh over the first `num_devices` devices (global devices when
+    `initialize_distributed` has run; local otherwise)."""
     devices = jax.devices()
     if num_devices is None:
         num_devices = len(devices)
