@@ -118,6 +118,11 @@ class Config:
     sr_cg_tol: float = 1e-6
     sr_cg_maxiter: int = 100
     sr_delta_clip: float = 10.0   # trust-region cap on |natural gradient|
+    # Compute per-sample gradient rows this many samples at a time
+    # (lax.map over chunks; 0 = all at once).  Bounds the backward-pass
+    # activation memory, which otherwise scales with the FULL sample count
+    # (x the symmetry-orbit size for projected ansatzes).
+    sr_jacobian_chunk: int = 0
     # Skip the update when solve residual > this × |grad| (0 disables).
     sr_reject_residual: float = 0.0
     # Mesh: number of devices to shard Markov chains over (1 = single chip).

@@ -43,6 +43,19 @@ from cgs_vmc_tpu.optim.common import TrainState
 from cgs_vmc_tpu.sampler import metropolis
 
 
+def _jacobian_rows(fn, flat_params, configs, chunk: int):
+    """Per-sample gradient rows via vmap(grad), optionally lax.map'd in
+    `chunk`-sample slices so backward-pass activation memory is bounded
+    by the chunk instead of the full sample count (× the symmetry-orbit
+    size for projected ansatzes)."""
+    grad_rows = jax.vmap(jax.grad(fn), in_axes=(None, 0))
+    if chunk and configs.shape[0] > chunk and configs.shape[0] % chunk == 0:
+        slices = configs.reshape(-1, chunk, configs.shape[-1])
+        rows = jax.lax.map(lambda c: grad_rows(flat_params, c), slices)
+        return rows.reshape(-1, rows.shape[-1])
+    return grad_rows(flat_params, configs)
+
+
 class StochasticReconfiguration:
     """Ground-state optimizer 'SR'."""
 
@@ -181,6 +194,10 @@ class StochasticReconfiguration:
         def single_log(p_flat, config):
             return wf.apply(unravel(p_flat), config[None, :]).log[0]
 
+        def jac_rows(fn, configs):
+            return _jacobian_rows(fn, flat_params, configs,
+                                  cfg.sr_jacobian_chunk)
+
         def center_and_gather(rows):
             rows = rows - jnp.mean(rows, axis=0, keepdims=True)
             if axis_name is not None:
@@ -199,12 +216,10 @@ class StochasticReconfiguration:
             # [Ō_re; Ō_im] · δ ≈ [Re ε; Im ε] — so the push-through /
             # Cholesky machinery below applies unchanged with a [2M, 2M]
             # sample-space system (divisor stays M, the sample count).
-            jac_re = jax.vmap(
-                jax.grad(lambda p, c: single_log(p, c).real),
-                in_axes=(None, 0))(flat_params, all_configs)
-            jac_im = jax.vmap(
-                jax.grad(lambda p, c: single_log(p, c).imag),
-                in_axes=(None, 0))(flat_params, all_configs)
+            jac_re = jac_rows(lambda p, c: single_log(p, c).real,
+                              all_configs)
+            jac_im = jac_rows(lambda p, c: single_log(p, c).imag,
+                              all_configs)
             jac = jnp.concatenate(
                 [center_and_gather(jac_re), center_and_gather(jac_im)],
                 axis=0)                                     # [2M, P]
@@ -216,8 +231,7 @@ class StochasticReconfiguration:
             m_global = jac.shape[0] // 2
         else:
             jac = center_and_gather(
-                jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
-                    flat_params, all_configs))              # [M_local, P]
+                jac_rows(single_log, all_configs))          # [M_local, P]
             eps = e_loc - e_mean                            # [M_local]
             if axis_name is not None:
                 eps = jax.lax.all_gather(eps, axis_name, axis=0, tiled=True)
@@ -282,19 +296,18 @@ class StochasticReconfiguration:
             return rows - mean
 
         eps_c = e_loc - e_mean
+        chunk = cfg.sr_jacobian_chunk
         if is_complex:
-            jac_re = jax.vmap(
-                jax.grad(lambda p, c: single_log(p, c).real),
-                in_axes=(None, 0))(flat_params, all_configs)
-            jac_im = jax.vmap(
-                jax.grad(lambda p, c: single_log(p, c).imag),
-                in_axes=(None, 0))(flat_params, all_configs)
+            jac_re = _jacobian_rows(lambda p, c: single_log(p, c).real,
+                                    flat_params, all_configs, chunk)
+            jac_im = _jacobian_rows(lambda p, c: single_log(p, c).imag,
+                                    flat_params, all_configs, chunk)
             jac = jnp.concatenate([center(jac_re), center(jac_im)],
                                   axis=0)                   # [2M_loc, P]
             b = jnp.concatenate([jnp.real(eps_c), jnp.imag(eps_c)])
         else:
-            jac = center(jax.vmap(jax.grad(single_log), in_axes=(None, 0))(
-                flat_params, all_configs))                  # [M_loc, P]
+            jac = center(_jacobian_rows(single_log, flat_params,
+                                        all_configs, chunk))  # [M_loc, P]
             b = eps_c
         b = b / m_global
 

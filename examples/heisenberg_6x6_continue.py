@@ -26,7 +26,8 @@ cfg = Config(num_sites=36, size_x=6, size_y=6,
              learning_rate_stops=[200, 400, 600],
              optimizer='gradient', heisenberg_jx=-1.0,
              sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
-             sr_reject_residual=0.5, symmetrize=True, seed=23)
+             sr_reject_residual=0.5, sr_jacobian_chunk=1024,
+             symmetrize=True, seed=23)
 bonds = lattice.square_lattice_bonds(6, 6)
 wf = build_wavefunction(cfg)
 ham = HeisenbergHamiltonian(bonds, -1.0, 1.0)

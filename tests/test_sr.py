@@ -88,6 +88,24 @@ def test_sample_cg_matches_dense_single_device():
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_jacobian_chunking_is_exact():
+    """sr_jacobian_chunk changes memory, not the answer."""
+    config, wf, opt = _setup('dense')
+    params = wf.init(jax.random.key(10))
+    configs = basis.random_configurations(jax.random.key(11), N, 64)
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_mean = jnp.mean(e_loc)
+    delta_full, _, _ = opt._dense_solve(configs, params, e_loc, e_mean,
+                                        None)
+    opt.config = config.replace(sr_jacobian_chunk=16)
+    delta_chunked, _, _ = opt._dense_solve(configs, params, e_loc, e_mean,
+                                           None)
+    for a, b in zip(jax.tree.leaves(delta_full),
+                    jax.tree.leaves(delta_chunked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_sample_cg_sharded_matches_single_device():
     """Sharding the Jacobian over an 8-device mesh must not change the
     solution: psum'd matvecs/dots reproduce the single-device solve."""
