@@ -104,6 +104,57 @@ def test_complex_sampler_born_distribution():
     assert tv < 0.05, f'TV distance {tv} too large'
 
 
+def test_complex_evaluators():
+    """evaluate_operator / exact_expectation / evaluate_vector /
+    overlap_with_vector all handle complex amplitudes."""
+    from cgs_vmc_tpu.evaluate import (
+        evaluate_operator, exact_expectation, evaluate_vector,
+        overlap_with_vector)
+    bonds, couplings = _j1j2(0.4)
+    e0, v0 = ed.ground_state(N, bonds, couplings=couplings)
+    wf, params, psi = _exact_complex_state(seed=4)
+    ham = HeisenbergHamiltonian(bonds, couplings=couplings)
+    mat = ed.heisenberg_matrix(N, bonds, couplings=couplings)
+    dense = mat.toarray() if hasattr(mat, 'toarray') else mat
+
+    # Deterministic full-basis expectation == Rayleigh quotient.
+    exact = exact_expectation(wf, params, ham, N)
+    rayleigh = np.real(np.vdot(psi, dense @ psi) / np.vdot(psi, psi))
+    np.testing.assert_allclose(exact, rayleigh, rtol=1e-4)
+
+    # MC estimate agrees within error bars.
+    config = Config(num_sites=N, batch_size=256,
+                    num_equilibration_sweeps=20, num_monte_carlo_sweeps=2,
+                    num_evaluation_samples=60)
+    result = evaluate_operator(wf, params, ham, config,
+                               key=jax.random.key(12))
+    assert abs(result.mean - rayleigh) < 6 * max(result.error, 1e-3)
+
+    # Vector dump preserves relative phases; fidelity is conjugate-correct.
+    dumped = evaluate_vector(wf, params, config)
+    assert np.iscomplexobj(dumped)
+    np.testing.assert_allclose(dumped / np.linalg.norm(dumped),
+                               psi / np.linalg.norm(psi)
+                               * np.exp(-0j), rtol=2e-4, atol=1e-6)
+    assert overlap_with_vector(dumped, psi) > 1 - 1e-6
+
+
+def test_complex_vector_dump_format(tmp_path):
+    """The (re,im) text dump round-trips the complex amplitudes."""
+    from cgs_vmc_tpu.evaluate import evaluate_vector
+    wf, params, psi = _exact_complex_state(seed=5)
+    config = Config(num_sites=N, batch_size=64)
+    out = str(tmp_path / 'wavefunction_epoch_0.txt')
+    dumped = evaluate_vector(wf, params, config, output_path=out)
+    parsed = []
+    with open(out) as f:
+        for line in f:
+            re_s, im_s = line.strip()[1:-1].split(',')
+            parsed.append(float(re_s) + 1j * float(im_s))
+    np.testing.assert_allclose(np.asarray(parsed), dumped, rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_complex_gradient_formula_vs_rayleigh_autodiff():
     """Full-basis estimator gradient (the formula the optimizer uses,
     built from log_amp_phase_pullback) == 1/2 * autodiff of the exact
