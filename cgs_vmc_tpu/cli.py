@@ -87,7 +87,8 @@ def main(argv=None) -> int:
     p_eval.add_argument(
         '--observable', default='energy',
         help="What to measure: 'energy' (default), 'szsz:<distance>' "
-             "(spin-spin correlation at the given site offset), "
+             "(longitudinal spin-spin correlation at the given offset), "
+             "'transverse:<distance>' (SxSx+SySy, off-diagonal), "
              "'staggered_m2' (squared staggered magnetization), or "
              "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
              "momentum in units of pi; qy required iff size_y > 1).")
@@ -174,6 +175,14 @@ def main(argv=None) -> int:
                          for i in range(config.num_sites)]
                 operator = SzSzCorrelation(pairs)
                 label = f'SzSz(d={distance})'
+            elif observable.startswith('transverse:'):
+                from cgs_vmc_tpu.ops.observables import TransverseCorrelation
+                distance = int(observable.split(':', 1)[1])
+                pairs = [(i, (i + distance) % config.num_sites)
+                         for i in range(config.num_sites)]
+                operator = TransverseCorrelation(
+                    pairs, sample_chunk=config.energy_chunk_samples)
+                label = f'SxSx+SySy(d={distance})'
             elif observable.startswith('sq:'):
                 import numpy as np
                 from cgs_vmc_tpu.ops.observables import (

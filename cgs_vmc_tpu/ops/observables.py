@@ -73,6 +73,32 @@ class SpinStructureFactor(Operator):
         return (re ** 2 + im ** 2) / n
 
 
+class TransverseCorrelation(Operator):
+    """C⊥ = (1/|pairs|) Σ_(i,j) ⟨SˣᵢSˣⱼ + SʸᵢSʸⱼ⟩ — the OFF-DIAGONAL
+    spin-spin correlator: ½(S⁺ᵢS⁻ⱼ + S⁻ᵢS⁺ⱼ) exchanges antiparallel
+    spins, so the local value needs amplitude ratios ψ(R_ij)/ψ(R),
+    evaluated for all pairs in one fused forward pass exactly like the
+    Heisenberg off-diagonal term (ops/heisenberg.py:82-115).  For the
+    isotropic Heisenberg ground state ⟨C⊥⟩ = 2⟨SᶻSᶻ⟩ by SU(2) symmetry —
+    the oracle the tests use."""
+
+    def __init__(self, pairs: Sequence[Tuple[int, int]],
+                 sample_chunk: int = 0):
+        from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+        pairs = np.asarray(pairs, dtype=np.int32)
+        # Reuse the batched exchange kernel: jx=1 off-diagonal only, and
+        # average instead of summing over "bonds".
+        self._exchange = HeisenbergHamiltonian(
+            pairs, j_x=1.0, j_z=0.0, sample_chunk=sample_chunk)
+        self.n_pairs = pairs.shape[0]
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        return self._exchange.local_value(wf, params, configs,
+                                          amp) / self.n_pairs
+
+
 def chain_positions(n_sites: int) -> np.ndarray:
     """1-D chain site coordinates [N, 1] (unit spacing)."""
     return np.arange(n_sites, dtype=np.float64)[:, None]

@@ -12,6 +12,7 @@ from cgs_vmc_tpu.ops.observables import (
     SpinStructureFactor,
     SzSzCorrelation,
     StaggeredMagnetizationSquared,
+    TransverseCorrelation,
     chain_positions,
     square_positions,
 )
@@ -83,6 +84,39 @@ def test_structure_factor_sum_rule_and_ed():
     result = evaluate_operator(wf, params, obs, config,
                                key=jax.random.key(6))
     assert abs(result.mean - exact) < 5 * max(result.error, 1e-4)
+
+
+def test_transverse_correlation_su2_identity():
+    """Isotropic Heisenberg ground state: ⟨SˣSˣ+SʸSʸ⟩ = 2⟨SᶻSᶻ⟩ by SU(2)
+    symmetry — checks the off-diagonal (exchange) local value exactly."""
+    e0, v0 = ed.ground_state(N, BONDS)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    weights = v0 ** 2 / np.sum(v0 ** 2)
+
+    for d in (1, 2, 3):
+        pairs = [(i, (i + d) % N) for i in range(N)]
+        perp = TransverseCorrelation(pairs)
+        zz = SzSzCorrelation(pairs)
+        perp_exact = float(np.sum(weights * np.asarray(
+            perp.local_value(wf, params, states))))
+        zz_exact = float(np.sum(weights * np.asarray(
+            zz.local_value(wf, params, states))))
+        np.testing.assert_allclose(perp_exact, 2.0 * zz_exact,
+                                   rtol=1e-3, atol=1e-6)
+
+    # MC estimate agrees with the exact value.
+    pairs = [(i, (i + 1) % N) for i in range(N)]
+    perp = TransverseCorrelation(pairs)
+    exact = float(np.sum(weights * np.asarray(
+        perp.local_value(wf, params, states))))
+    config = Config(num_sites=N, batch_size=256,
+                    num_equilibration_sweeps=20, num_monte_carlo_sweeps=2,
+                    num_evaluation_samples=60)
+    result = evaluate_operator(wf, params, perp, config,
+                               key=jax.random.key(7))
+    assert abs(result.mean - exact) < 5 * max(result.error, 1e-3)
 
 
 def test_square_positions_layout():
