@@ -89,9 +89,11 @@ def main(argv=None) -> int:
         help="What to measure: 'energy' (default), 'szsz:<distance>' "
              "(longitudinal spin-spin correlation at the given offset), "
              "'transverse:<distance>' (SxSx+SySy, off-diagonal), "
-             "'staggered_m2' (squared staggered magnetization), or "
+             "'staggered_m2' (squared staggered magnetization), "
              "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
-             "momentum in units of pi; qy required iff size_y > 1).")
+             "momentum in units of pi; qy required iff size_y > 1), or "
+             "'renyi2:<i>-<j>' (Renyi-2 entanglement entropy of sites "
+             'i..j via the two-replica swap estimator).')
 
     p_dump = sub.add_parser(
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
@@ -166,6 +168,14 @@ def main(argv=None) -> int:
         if args.command == 'eval':
             from cgs_vmc_tpu.evaluate import evaluate_operator
             observable = getattr(args, 'observable', 'energy')
+            if observable.startswith('renyi2:'):
+                from cgs_vmc_tpu.ops.renyi import evaluate_renyi2
+                lo, hi = (int(v) for v in
+                          observable.split(':', 1)[1].split('-'))
+                region = list(range(lo, hi + 1))
+                s2, err = evaluate_renyi2(wf, state.params, region, config)
+                print(f'Renyi-2 S2(sites {lo}..{hi}): {s2} +/- {err}')
+                return 0
             if observable == 'energy':
                 operator, label = hamiltonian, 'Energy'
             elif observable.startswith('szsz:'):
