@@ -55,12 +55,17 @@ def tdvp_direction(
     mode: str = 'real',
     diag_shift: float = 1e-4,
     weights: Optional[jax.Array] = None,
-) -> Tuple[Params, jax.Array]:
-    """Solves S theta_dot = f; returns (theta_dot pytree, <E_loc>).
+) -> Tuple[Params, jax.Array, jax.Array]:
+    """Solves S theta_dot = f; returns (theta_dot pytree, <E_loc>, r2).
 
     mode: 'real' (unitary dynamics, complex-log ansatz required) or
     'imag' (normalized imaginary-time flow — the natural-gradient /
     SR descent direction, valid for real ansatzes too).
+
+    r2 is the McLachlan residual distance ||sum_k theta_dot_k O_k psi -
+    psi_dot_exact||^2 / ||psi||^2 = <|eps|^2> - theta_dot·f at the
+    solution — the per-unit-time rate at which the variational manifold
+    fails to capture the exact flow (0 for a complete parameterization).
     """
     if mode not in ('real', 'imag'):
         raise ValueError(f"mode must be 'real' or 'imag', got {mode!r}")
@@ -117,7 +122,10 @@ def tdvp_direction(
             n_rows, dtype=t_matrix.dtype)
         y = jax.scipy.linalg.solve(t_matrix, resid, assume_a='pos')
         theta_dot_flat = jac.T @ y
-    return unravel(theta_dot_flat), e_mean
+        # McLachlan distance: <|eps|^2> - theta_dot·f  (f = J^T resid).
+        eps2 = jnp.sum(weights * jnp.abs(eps) ** 2)
+        r2 = eps2 - theta_dot_flat @ (jac.T @ resid)
+    return unravel(theta_dot_flat), e_mean, jnp.maximum(r2, 0.0)
 
 
 class TimeEvolution:
@@ -166,11 +174,11 @@ class TimeEvolution:
             return tdvp_direction(wf, p, configs, e_loc, self.mode,
                                   cfg.sr_diag_shift)
 
-        k1, e_mean = direction(params)
+        k1, e_mean, r2 = direction(params)
         if self.integrator == 'heun':
             mid = jax.tree.map(lambda p, d: p + 0.5 * self.dt * d,
                                params, k1)
-            k2, _ = direction(mid)
+            k2, _, _ = direction(mid)
             new_params = jax.tree.map(lambda p, d: p + self.dt * d,
                                       params, k2)
         else:
@@ -178,7 +186,8 @@ class TimeEvolution:
                                       params, k1)
         metrics = {'energy': jnp.real(e_mean),
                    'energy_imag': jnp.imag(e_mean)
-                   if jnp.iscomplexobj(e_mean) else jnp.zeros(())}
+                   if jnp.iscomplexobj(e_mean) else jnp.zeros(()),
+                   'tdvp_r2': r2}
         return new_params, sampler, metrics
 
     def evolve(self, params: Params, sampler: metropolis.SamplerState,

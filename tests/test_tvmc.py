@@ -61,14 +61,15 @@ def _evolve_tdvp(wf, params, ham, states, dt, n_steps, mode='real'):
         return tdvp_direction(wf, p, states, e_loc, mode=mode,
                               diag_shift=1e-6, weights=weights)
 
-    energies = []
+    energies, r2s = [], []
     for _ in range(n_steps):
-        k1, e = direction(params)
+        k1, e, r2 = direction(params)
         mid = jax.tree.map(lambda p, d: p + 0.5 * dt * d, params, k1)
-        k2, _ = direction(mid)
+        k2, _, _ = direction(mid)
         params = jax.tree.map(lambda p, d: p + dt * d, params, k2)
         energies.append(complex(e))
-    return params, energies
+        r2s.append(float(r2))
+    return params, energies, r2s
 
 
 def test_tdvp_stationary_ground_state():
@@ -79,8 +80,8 @@ def test_tdvp_stationary_ground_state():
     wf, params = _exact_param_wf(v0)
     states = jnp.asarray(basis.enumerate_sz_basis(N))
 
-    params, energies = _evolve_tdvp(wf, params, ham, states,
-                                    dt=0.01, n_steps=20)
+    params, energies, r2s = _evolve_tdvp(wf, params, ham, states,
+                                         dt=0.01, n_steps=20)
     psi_t = _state_vector(wf, params, states)
     fidelity = abs(np.vdot(psi_t, v0))
     assert fidelity > 1 - 1e-6
@@ -97,8 +98,11 @@ def test_tdvp_real_time_quench_matches_expm():
     states = jnp.asarray(basis.enumerate_sz_basis(N))
 
     t_final, n_steps = 0.2, 40
-    params, energies = _evolve_tdvp(wf, params, ham, states,
-                                    dt=t_final / n_steps, n_steps=n_steps)
+    params, energies, r2s = _evolve_tdvp(wf, params, ham, states,
+                                         dt=t_final / n_steps,
+                                         n_steps=n_steps)
+    # Complete parameterization: the McLachlan residual is ~0.
+    assert max(r2s) < 1e-4, f'tdvp r2 {max(r2s)}'
     psi_t = _state_vector(wf, params, states)
     exact_t = scipy.linalg.expm(-1j * dense * t_final) @ v_chain
     exact_t = exact_t / np.linalg.norm(exact_t)
@@ -120,8 +124,8 @@ def test_tdvp_imaginary_time_descends_to_ground_state():
     wf, params = _exact_param_wf(v)
     states = jnp.asarray(basis.enumerate_sz_basis(N))
 
-    params, energies = _evolve_tdvp(wf, params, ham, states,
-                                    dt=0.05, n_steps=120, mode='imag')
+    params, energies, _ = _evolve_tdvp(wf, params, ham, states,
+                                       dt=0.05, n_steps=120, mode='imag')
     assert energies[-1].real < vals[0] + 1e-3
     psi_t = _state_vector(wf, params, states)
     # The Majumdar-Ghosh ground state is two-fold degenerate (the two
