@@ -104,6 +104,33 @@ def test_complex_sampler_born_distribution():
     assert tv < 0.05, f'TV distance {tv} too large'
 
 
+def test_symmetrized_complex_wavefunction():
+    """Symmetry projection composes with complex logs: the orbit average
+    runs through the complex branch of logamp.sum_terms and stays
+    invariant under the group (spin flip here)."""
+    from cgs_vmc_tpu.models import build_wavefunction
+    config = Config(num_sites=16, size_x=4, size_y=4,
+                    wavefunction_type='complex',
+                    composite_wavefunction_types=('fully_connected',
+                                                  'fully_connected'),
+                    num_fc_layers=1, fc_layer_size=6,
+                    symmetrize=True, symmetrize_spin_flip=True)
+    wf = build_wavefunction(config)
+    params = wf.init(jax.random.key(3))
+    configs = basis.random_configurations(jax.random.key(4), 16, 32)
+    amp = wf.apply(params, configs)
+    assert jnp.iscomplexobj(amp.log)
+    psi = np.asarray(logamp.to_value(amp))
+    # Spin-flip invariance.
+    psi_f = np.asarray(logamp.to_value(wf.apply(params, -configs)))
+    np.testing.assert_allclose(psi, psi_f, rtol=1e-4, atol=1e-6)
+    # 90-degree rotation invariance (row-major site = x*4 + y).
+    grid = np.asarray(configs).reshape(-1, 4, 4)
+    rotated = jnp.asarray(np.rot90(grid, axes=(1, 2)).reshape(-1, 16))
+    psi_r = np.asarray(logamp.to_value(wf.apply(params, rotated)))
+    np.testing.assert_allclose(psi, psi_r, rtol=1e-4, atol=1e-6)
+
+
 def test_complex_evaluators():
     """evaluate_operator / exact_expectation / evaluate_vector /
     overlap_with_vector all handle complex amplitudes."""
