@@ -80,10 +80,41 @@ class _SWOBase:
 # Ground-state imaginary-time SWO (self-supervised: target = (1-βH)|ψ_ω>).
 # ======================================================================
 
+def _log_overlap_grads(wf, params, configs, ratio, axis_name):
+    """Half-scale log-overlap gradient, real or complex log:
+      real:    <O> − <r·O>/<r>
+      complex: <O_re> − Re[<r·O*>/<r>]   (O = ∂log|ψ| + i∂phase),
+    which reduces to the real formula when Im ≡ 0.  Returns
+    (grads pytree, <ratio>)."""
+    m = configs.shape[0]
+    if jnp.iscomplexobj(ratio) or jnp.iscomplexobj(
+            wf.apply(params, configs[:1]).log):
+        _, pull = common.log_amp_phase_pullback(wf, params, configs)
+        ratio = ratio.astype(jnp.complex64)
+        mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
+        w = ratio / (m * mean_ratio)
+        ones = jnp.full((m,), 1.0 / m, jnp.float32)
+        zeros = jnp.zeros((m,), jnp.float32)
+        g_plain = common.pmean(pull(ones, zeros), axis_name)
+        # Re[Σ w·O*] = Σ [Re(w)·O_re + Im(w)·O_im].
+        g_corr = common.pmean(
+            pull(jnp.real(w), jnp.imag(w)), axis_name)
+        grads = jax.tree.map(jnp.subtract, g_plain, g_corr)
+        return grads, mean_ratio
+    _, pullback = common.log_derivative_pullback(wf, params, configs)
+    g_plain = common.pmean(pullback(jnp.full((m,), 1.0 / m)), axis_name)
+    g_ratio = common.pmean(pullback(ratio / m), axis_name)
+    mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
+    grads = jax.tree.map(lambda a, b: a - b / mean_ratio, g_plain, g_ratio)
+    return grads, mean_ratio
+
+
 class LogOverlapImaginaryTimeSWO(_SWOBase):
     """Normalization-free IT-SWO via the log-overlap gradient
     (reference training.py:626-778):
-      ∇L = <∇logψ> − <ratio·∇logψ>/<ratio>,  ratio = (ψ_ω − βHψ_ω)/ψ.
+      ∇L = <∇logψ> − <ratio·∇logψ>/<ratio>,  ratio = (ψ_ω − βHψ_ω)/ψ
+    (complex-log ansatzes use the conjugate-correct form, see
+    `_log_overlap_grads`).
     """
 
     name = 'LogOverlapITSWO'
@@ -124,23 +155,21 @@ class LogOverlapImaginaryTimeSWO(_SWOBase):
             amp_omega = wf.apply(omega, configs)
             e_loc_omega = ham.local_value(wf, omega, configs, amp_omega)
             # ratio = (ψ_ω − β H ψ_ω) / ψ, all stop-grad (supervisor side).
+            # With complex logs exp(Δlog) carries the phase difference and
+            # 1/ψ contributes conj-free division: ψ_ω/ψ = s_ω s e^{l_ω−l}
+            # exactly as in the real case (|s|=1, s real here).
             ratio = lax.stop_gradient(
                 amp_omega.sign * amp.sign
                 * (1.0 - beta * e_loc_omega)
                 * jnp.exp(amp_omega.log - amp.log))
 
-            _, pullback = common.log_derivative_pullback(wf, params, configs)
-            g_plain = common.pmean(
-                pullback(jnp.full((m,), 1.0 / m)), axis_name)
-            g_ratio = common.pmean(pullback(ratio / m), axis_name)
-            mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
-
-            grads = jax.tree.map(
-                lambda a, b: a - b / mean_ratio, g_plain, g_ratio)
+            grads, _ = _log_overlap_grads(wf, params, configs, ratio,
+                                          axis_name)
             params, opt_state = self.optax_opt.update(
                 grads, opt_state, params, state.epoch)
 
-            e_sum = e_sum + common.pmean(jnp.mean(e_loc_omega), axis_name)
+            e_sum = e_sum + common.pmean(
+                jnp.real(jnp.mean(e_loc_omega)), axis_name)
             return (params, opt_state, smp, e_sum), None
 
         init = (state.params, state.opt_state, sampler,
@@ -327,7 +356,8 @@ class SupervisedWavefunctionOptimizer(_SWOBase):
 class LogOverlapSWO(SupervisedWavefunctionOptimizer):
     """Log-overlap gradient against a fixed target (reference
     training.py:298-404): ∇L = <∇logψ> − <ratio·∇logψ>/<ratio>,
-    ratio = ψ_t/ψ."""
+    ratio = ψ_t/ψ (conjugate-correct complex form via
+    `_log_overlap_grads` when the student has a complex log)."""
 
     name = 'LogOverlapSWO'
 
@@ -349,16 +379,11 @@ class LogOverlapSWO(SupervisedWavefunctionOptimizer):
             ratio = lax.stop_gradient(
                 amp_t.sign * amp.sign * jnp.exp(amp_t.log - amp.log))
 
-            _, pullback = common.log_derivative_pullback(wf, params, configs)
-            g_plain = common.pmean(
-                pullback(jnp.full((m,), 1.0 / m)), axis_name)
-            g_ratio = common.pmean(pullback(ratio / m), axis_name)
-            mean_ratio = common.pmean(jnp.mean(ratio), axis_name)
-            grads = jax.tree.map(
-                lambda a, b: a - b / mean_ratio, g_plain, g_ratio)
+            grads, mean_ratio = _log_overlap_grads(wf, params, configs,
+                                                   ratio, axis_name)
             params, opt_state = self.optax_opt.update(
                 grads, opt_state, params, state.epoch)
-            return (params, opt_state, smp), mean_ratio
+            return (params, opt_state, smp), jnp.abs(mean_ratio)
 
         sampler = metropolis.reset_stats(state.sampler)
         (params, opt_state, sampler), ratios = lax.scan(

@@ -1,0 +1,70 @@
+"""Measure the observable suite on the trained 6x6 artifact.
+
+Demonstrates the measurement stack end to end on a converged state:
+energy, S(q) across the Brillouin zone (peak at the AFM ordering vector
+(pi, pi)), staggered magnetization, longitudinal + transverse
+correlators, and Renyi-2 entanglement of a 6-site strip.
+
+Runs anywhere (CPU ~minutes, TPU seconds):
+  PYTHONPATH=/root/repo python examples/measure_6x6_observables.py
+"""
+import os, sys
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/jax_comp'))
+import numpy as np
+import jax
+from flax import serialization
+
+from cgs_vmc_tpu import lattice
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.ops.observables import (
+    SpinStructureFactor, SzSzCorrelation, StaggeredMagnetizationSquared,
+    TransverseCorrelation, square_positions)
+from cgs_vmc_tpu.ops.renyi import evaluate_renyi2
+from cgs_vmc_tpu.evaluate import evaluate_operator
+
+path = sys.argv[1] if len(sys.argv) > 1 else \
+    'artifacts/heisenberg_6x6_symconv_v2.msgpack'
+cfg = Config(num_sites=36, size_x=6, size_y=6,
+             wavefunction_type='conv_2d', num_conv_layers=5,
+             num_conv_filters=32, kernel_size=3, symmetrize=True,
+             heisenberg_jx=-1.0,
+             batch_size=256, num_equilibration_sweeps=30,
+             num_monte_carlo_sweeps=2, num_evaluation_samples=100,
+             energy_chunk_samples=64, seed=55)
+wf = build_wavefunction(cfg)
+params = serialization.from_bytes(
+    wf.init(jax.random.key(0)), open(path, 'rb').read())
+pos = square_positions(6, 6)
+
+def measure(op, label, key):
+    r = evaluate_operator(wf, params, op, cfg, key=jax.random.key(key))
+    print(f'{label:34s} {r.mean:+.5f} +/- {r.error:.5f}', flush=True)
+    return r.mean
+
+ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6), -1.0, 1.0,
+                            sample_chunk=cfg.energy_chunk_samples)
+e = measure(ham, 'E (Marshall gauge)', 1)
+print(f'{"E/N":34s} {e/36:+.6f}  (QMC -0.678872)')
+
+for q, name in (((np.pi, np.pi), 'S(pi,pi)  [AFM peak]'),
+                ((np.pi, 0.0), 'S(pi,0)'),
+                ((np.pi / 3, np.pi / 3), 'S(pi/3,pi/3)'),
+                ((0.0, 0.0), 'S(0,0)   [= 0: Sz conserved]')):
+    measure(SpinStructureFactor(list(q), pos), name, hash(name) % 1000)
+
+measure(StaggeredMagnetizationSquared(
+    lattice.marshall_sublattice(36, 6, 6)), 'staggered m^2', 7)
+for d in (1, 2, 3):
+    pairs = [(i, (i + d) % 36) for i in range(36)]
+    measure(SzSzCorrelation(pairs), f'SzSz(d={d}, x-dir)', 10 + d)
+pairs1 = [(i, (i + 1) % 36) for i in range(36)]
+measure(TransverseCorrelation(pairs1, sample_chunk=64),
+        'SxSx+SySy(d=1) [=2*SzSz by SU(2)]', 20)
+
+s2, err = evaluate_renyi2(wf, params, list(range(6)), cfg,
+                          key=jax.random.key(30))
+print(f'{"Renyi-2 S2(first row, 6 sites)":34s} {s2:+.4f} +/- {err:.4f}',
+      flush=True)

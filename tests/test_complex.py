@@ -223,6 +223,63 @@ def test_complex_gradient_formula_vs_rayleigh_autodiff():
                                    rtol=2e-3, atol=2e-6)
 
 
+def test_complex_log_overlap_distillation():
+    """LogOverlapSWO distills a complex target into a complex student:
+    |<psi_t|psi>| fidelity rises toward 1."""
+    from cgs_vmc_tpu.evaluate import evaluate_vector, overlap_with_vector
+    from cgs_vmc_tpu.optim.swo import LogOverlapSWO
+
+    target_wf, target_params, psi_t = _exact_complex_state(seed=6)
+    config = Config(num_sites=N, wavefunction_type='complex',
+                    composite_wavefunction_types=('fully_connected',
+                                                  'fully_connected'),
+                    num_fc_layers=1, fc_layer_size=16,
+                    batch_size=256, num_batches_per_epoch=4,
+                    num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+                    optimizer='adam', learning_rates=[0.01],
+                    learning_rate_stops=[], seed=17)
+    wf = build_wavefunction(config)
+    opt = LogOverlapSWO(wf, target_wf, config)
+    state = opt.init_state(jax.random.key(17), target_params, 256)
+
+    def fidelity(params):
+        dumped = evaluate_vector(wf, params, config)
+        return overlap_with_vector(dumped, psi_t)
+
+    f0 = fidelity(state.params)
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    for _ in range(100):
+        state, metrics = epoch(state)
+    f1 = fidelity(state.params)
+    assert f1 > f0 + 0.05 and f1 > 0.9, f'fidelity {f0} -> {f1}'
+
+
+def test_complex_log_overlap_itswo_descends():
+    """LogOverlapITSWO (imaginary-time log-overlap) lowers the energy of
+    a complex ansatz on the frustrated chain."""
+    from cgs_vmc_tpu.optim.swo import LogOverlapImaginaryTimeSWO
+    config = Config(num_sites=N, wavefunction_type='complex',
+                    composite_wavefunction_types=('fully_connected',
+                                                  'fully_connected'),
+                    num_fc_layers=1, fc_layer_size=12,
+                    heisenberg_j2=0.5, time_evolution_beta=0.1,
+                    batch_size=256, num_batches_per_epoch=4,
+                    num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+                    optimizer='adam', learning_rates=[0.01],
+                    learning_rate_stops=[], seed=19)
+    wf = build_wavefunction(config)
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    ham = HeisenbergHamiltonian(bonds, couplings=(1.0 - mask) + 0.5 * mask)
+    opt = LogOverlapImaginaryTimeSWO(wf, ham, config)
+    state = opt.init_state(jax.random.key(19))
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(40):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.3
+
+
 @pytest.mark.slow
 def test_complex_sr_trains_majumdar_ghosh():
     """Dense SR with a complex fc+fc ansatz descends to the exact
