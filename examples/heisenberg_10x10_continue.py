@@ -94,6 +94,10 @@ with open(OUT, 'wb') as f:
     f.write(serialization.to_bytes(jax.device_get(params)))
 
 from cgs_vmc_tpu.evaluate import evaluate_operator
+# Chunked Hamiltonian for the big-batch final eval: the symmetrized
+# orbit multiplies the connected-config fan-out; unchunked it OOMs HBM
+# and crashes the TPU worker.
+ham = HeisenbergHamiltonian(bonds, -1.0, 1.0, sample_chunk=128)
 cfg_eval = cfg.replace(num_evaluation_samples=400, num_monte_carlo_sweeps=2,
                        batch_size=1024)
 res = evaluate_operator(wf, params, ham, cfg_eval, key=jax.random.key(99),
