@@ -46,6 +46,34 @@ def test_swap_values_exact_mean():
     np.testing.assert_allclose(swap_mean, exact, rtol=1e-4)
 
 
+def test_swap_values_complex_state():
+    """The swap estimator is phase-correct: a complex state's exact
+    double-sum still equals tr(rho_A²)."""
+    from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
+    rng = np.random.default_rng(2)
+    states_np = basis.enumerate_sz_basis(N)
+    dim = states_np.shape[0]
+    modulus = rng.uniform(0.2, 1.0, size=dim)
+    phi = rng.uniform(-2.0, 2.0, size=dim)
+    psi = modulus * np.exp(1j * phi)
+    wf = ComplexPhaseWavefunction(
+        FullVector.for_sector(N, modulus.astype(np.float32)),
+        FullVector.for_sector(N, np.exp(phi).astype(np.float32)))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(states_np)
+    p = np.abs(psi) ** 2 / np.sum(np.abs(psi) ** 2)
+
+    region = [0, 1]
+    mask = renyi.region_mask(N, region)
+    xs = jnp.repeat(states, dim, axis=0)
+    ys = jnp.tile(states, (dim, 1))
+    values = np.asarray(renyi.swap_values(wf, params, xs, ys, mask))
+    swap_mean = float(np.sum(
+        (p[:, None] * p[None, :]).reshape(-1) * values))
+    exact = np.exp(-renyi.exact_renyi2(psi, states_np, region))
+    np.testing.assert_allclose(swap_mean, exact, rtol=2e-4)
+
+
 def test_renyi2_mc_matches_ed():
     e0, v0 = ed.ground_state(N, BONDS)
     wf = FullVector.for_sector(N, v0.astype(np.float32))

@@ -111,3 +111,34 @@ def test_refresh_amplitudes():
     fixed = metropolis.refresh_amplitudes(wf, params, stale)
     np.testing.assert_allclose(np.asarray(fixed.log_amp),
                                np.asarray(state.log_amp), rtol=1e-6)
+
+
+def test_detailed_balance_two_site_toy():
+    """SURVEY §4.3: the 2-site, Sz=0 toy has exactly two states; the
+    exchange proposal is deterministic (swap), so the chain's empirical
+    occupation must match |psi|² = (a², b²)/(a²+b²) exactly in
+    distribution."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cgs_vmc_tpu.models import FullVector
+    from cgs_vmc_tpu.sampler import metropolis
+
+    a, b = 2.0, 1.0
+    wf = FullVector.for_sector(2, np.asarray([a, b], np.float32))
+    params = wf.init(jax.random.key(0))
+    state = metropolis.init_sampler(jax.random.key(1), wf, params, 2, 512)
+    state = metropolis.jitted_sweeps(wf, params, state, 20)
+
+    counts = np.zeros(2)
+    for _ in range(60):
+        state = metropolis.jitted_sweeps(wf, params, state, 1)
+        first = np.asarray(state.configs[:, 0])
+        counts[0] += np.sum(first > 0)
+        counts[1] += np.sum(first < 0)
+    empirical = counts / counts.sum()
+    # enumerate_sz_basis order fixes which state is (+,-) vs (-,+); the
+    # stationary distribution is symmetric in the labels we count.
+    probs = np.asarray([a * a, b * b]) / (a * a + b * b)
+    tv = 0.5 * np.abs(np.sort(empirical) - np.sort(probs)).sum()
+    assert tv < 0.03, f'TV {tv}: empirical {empirical} vs {probs}'
