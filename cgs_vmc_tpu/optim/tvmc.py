@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
@@ -140,15 +141,25 @@ class TimeEvolution:
 
     def __init__(self, wf: Wavefunction, hamiltonian: Operator, config,
                  dt: float, mode: str = 'real',
-                 integrator: str = 'heun'):
+                 integrator: str = 'heun',
+                 adaptive_tol: float = 0.0):
+        """adaptive_tol > 0 enables step-size control: the Heun embedded
+        error ||k2 - k1||·dt/2 (relative to ||k1||·dt) is driven toward
+        the tolerance, dt rescaled by clip(sqrt(tol/err), 0.5, 1.5) per
+        step.  dt is a traced argument of the compiled step, so
+        adaptation never recompiles."""
         if integrator not in ('euler', 'heun'):
             raise ValueError(f'Unknown integrator {integrator!r}')
+        if adaptive_tol and integrator != 'heun':
+            raise ValueError('adaptive_tol requires the heun integrator '
+                             '(the embedded error estimate)')
         self.wf = wf
         self.hamiltonian = hamiltonian
         self.config = config
         self.dt = float(dt)
         self.mode = mode
         self.integrator = integrator
+        self.adaptive_tol = float(adaptive_tol)
         self.sweeps = common.make_sweeps_fn(wf, config)
 
     def init_state(self, key: jax.Array, params: Params
@@ -157,12 +168,15 @@ class TimeEvolution:
             key, self.wf, params, self.config.num_sites,
             self.config.batch_size)
 
-    def step(self, params: Params, sampler: metropolis.SamplerState
+    def step(self, params: Params, sampler: metropolis.SamplerState,
+             dt: Optional[jax.Array] = None
              ) -> Tuple[Params, metropolis.SamplerState,
                         Dict[str, jax.Array]]:
         """One dt of evolution: decorrelate, solve, integrate."""
         cfg = self.config
         wf, ham = self.wf, self.hamiltonian
+        if dt is None:
+            dt = jnp.asarray(self.dt, jnp.float32)
         sampler = metropolis.refresh_amplitudes(wf, params, sampler)
         sampler = self.sweeps(params, sampler, cfg.num_monte_carlo_sweeps)
         configs = sampler.configs
@@ -176,18 +190,25 @@ class TimeEvolution:
 
         k1, e_mean, r2 = direction(params)
         if self.integrator == 'heun':
-            mid = jax.tree.map(lambda p, d: p + 0.5 * self.dt * d,
+            mid = jax.tree.map(lambda p, d: p + 0.5 * dt * d,
                                params, k1)
             k2, _, _ = direction(mid)
-            new_params = jax.tree.map(lambda p, d: p + self.dt * d,
+            new_params = jax.tree.map(lambda p, d: p + dt * d,
                                       params, k2)
+            # Embedded (Euler vs Heun) error, relative to the step size.
+            diff = jax.tree.map(jnp.subtract, k2, k1)
+            err = 0.5 * common.grad_global_norm(diff) / (
+                common.grad_global_norm(k1) + 1e-30)
         else:
-            new_params = jax.tree.map(lambda p, d: p + self.dt * d,
+            new_params = jax.tree.map(lambda p, d: p + dt * d,
                                       params, k1)
+            err = jnp.zeros(())
         metrics = {'energy': jnp.real(e_mean),
                    'energy_imag': jnp.imag(e_mean)
                    if jnp.iscomplexobj(e_mean) else jnp.zeros(()),
-                   'tdvp_r2': r2}
+                   'tdvp_r2': r2,
+                   'integrator_rel_error': err,
+                   'dt': dt}
         return new_params, sampler, metrics
 
     def evolve(self, params: Params, sampler: metropolis.SamplerState,
@@ -195,13 +216,21 @@ class TimeEvolution:
                observe: Optional[Callable[[Params], Dict]] = None,
                ) -> Tuple[Params, metropolis.SamplerState, list]:
         """Integrates n_steps of dt; `observe(params)` is recorded per
-        step alongside the energy (host loop — each step jits inside)."""
+        step alongside the energy (host loop — each step jits inside).
+        With adaptive_tol set, dt is rescaled between steps from the
+        embedded error estimate (no recompiles — dt is traced)."""
         step = jax.jit(self.step)
         records = []
+        dt = self.dt
         for _ in range(n_steps):
-            params, sampler, metrics = step(params, sampler)
+            params, sampler, metrics = step(
+                params, sampler, jnp.asarray(dt, jnp.float32))
             rec = {k: float(v) for k, v in metrics.items()}
             if observe is not None:
                 rec.update(observe(params))
             records.append(rec)
+            if self.adaptive_tol:
+                err = max(rec['integrator_rel_error'], 1e-12)
+                dt *= float(np.clip(
+                    np.sqrt(self.adaptive_tol / err), 0.5, 1.5))
         return params, sampler, records

@@ -177,6 +177,30 @@ def test_cli_evolve(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_adaptive_dt_adjusts_without_recompiles():
+    """adaptive_tol rescales dt from the embedded Heun error; dt is a
+    traced argument so the step compiles once."""
+    config = Config(
+        num_sites=N, wavefunction_type='complex',
+        composite_wavefunction_types=('fully_connected', 'fully_connected'),
+        num_fc_layers=1, fc_layer_size=8,
+        batch_size=256, num_monte_carlo_sweeps=1,
+        sr_diag_shift=1e-4, seed=21)
+    wf = build_wavefunction(config)
+    params = wf.init(jax.random.key(22))
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    ham = HeisenbergHamiltonian(bonds, couplings=(1.0 - mask) + 0.5 * mask)
+    evo = TimeEvolution(wf, ham, config, dt=0.002, mode='real',
+                        adaptive_tol=1e-3)
+    sampler = evo.init_state(jax.random.key(23), params)
+    params, sampler, records = evo.evolve(params, sampler, 8)
+    dts = [r['dt'] for r in records]
+    assert len(set(round(d, 8) for d in dts)) > 1, 'dt never adapted'
+    assert all(np.isfinite(r['energy']) for r in records)
+    assert all(r['integrator_rel_error'] >= 0 for r in records)
+
+
+@pytest.mark.slow
 def test_time_evolution_driver_mc_sampling():
     """The MC-sampled TimeEvolution driver approximately conserves energy
     over a short real-time window (complex fc ansatz, J1-J2 quench)."""
