@@ -131,6 +131,26 @@ def test_symmetrized_complex_wavefunction():
     np.testing.assert_allclose(psi, psi_r, rtol=1e-4, atol=1e-6)
 
 
+def test_complex_conv_ansatz_and_mtm():
+    """'complex' composites work with conv parts; MTM samples them
+    (acceptance uses Re log, cache stays complex and consistent)."""
+    from cgs_vmc_tpu.sampler import metropolis, mtm
+    config = Config(num_sites=16, size_x=4, size_y=4,
+                    wavefunction_type='complex',
+                    composite_wavefunction_types=('conv_2d', 'conv_2d'),
+                    num_conv_layers=2, num_conv_filters=4, kernel_size=3)
+    wf = build_wavefunction(config)
+    params = wf.init(jax.random.key(6))
+    state = metropolis.init_sampler(jax.random.key(7), wf, params, 16, 32)
+    assert jnp.iscomplexobj(state.log_amp)
+    state = jax.jit(lambda s: mtm.run_sweeps(wf, params, s, 3, k=4))(state)
+    amp = wf.apply(params, state.configs)
+    np.testing.assert_allclose(np.asarray(state.log_amp),
+                               np.asarray(amp.log), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(state.configs).sum(axis=1), np.zeros(32))
+
+
 def test_complex_evaluators():
     """evaluate_operator / exact_expectation / evaluate_vector /
     overlap_with_vector all handle complex amplitudes."""
