@@ -57,12 +57,28 @@ for q, name in (((np.pi, np.pi), 'S(pi,pi)  [AFM peak]'),
 
 measure(StaggeredMagnetizationSquared(
     lattice.marshall_sublattice(36, 6, 6)), 'staggered m^2', 7)
+
+
+def y_pairs(d):
+    """True lattice pairs at offset d along y (site = x*6 + y)."""
+    return [(x * 6 + y, x * 6 + (y + d) % 6)
+            for x in range(6) for y in range(6)]
+
+
+zz1 = None
 for d in (1, 2, 3):
-    pairs = [(i, (i + d) % 36) for i in range(36)]
-    measure(SzSzCorrelation(pairs), f'SzSz(d={d}, x-dir)', 10 + d)
-pairs1 = [(i, (i + 1) % 36) for i in range(36)]
-measure(TransverseCorrelation(pairs1, sample_chunk=64),
-        'SxSx+SySy(d=1) [=2*SzSz by SU(2)]', 20)
+    val = measure(SzSzCorrelation(y_pairs(d)), f'SzSz(d={d}, y-dir)',
+                  10 + d)
+    if d == 1:
+        zz1 = val
+# The trained state is the MARSHALL-GAUGE-rotated ground state (jx=-1):
+# U = prod_B sigma^z flips Sx,Sy on sublattice B, so for A-B pairs the
+# physical transverse correlator is MINUS the measured one.  SU(2)
+# symmetry of the physical state then demands it equal 2*SzSz.
+perp = measure(TransverseCorrelation(y_pairs(1), sample_chunk=64),
+               'SxSx+SySy(d=1) gauge-rotated', 20)
+print(f'{"  -> physical (x -1, Marshall)":34s} {-perp:+.5f}   '
+      f'[SU(2) check: 2*SzSz = {2 * zz1:+.5f}]')
 
 s2, err = evaluate_renyi2(wf, params, list(range(6)), cfg,
                           key=jax.random.key(30))
