@@ -1,0 +1,60 @@
+"""The driver-graded entry points must work from a dirty ambient env.
+
+Round-1 failure mode: the driver invoked ``dryrun_multichip(8)`` in the
+ambient environment (remote-TPU plugin on PYTHONPATH, JAX_PLATFORMS=axon)
+and jax died initializing the plugin before any mesh logic ran.  The entry
+now re-launches itself in a sanitized subprocess; these tests call it
+through a deliberately dirty environment to prove that path.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_in_env(extra_env, n_devices=8):
+    env = dict(os.environ)
+    env.update(extra_env)
+    script = (
+        'import __graft_entry__ as g; '
+        f'g.dryrun_multichip({n_devices})'
+    )
+    return subprocess.run(
+        [sys.executable, '-c', script],
+        env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=600)
+
+
+def test_dryrun_multichip_dirty_platform_env():
+    # A bogus platform name: jax backend init would fail outright unless
+    # the entry re-launches itself sanitized.
+    result = _run_in_env({
+        'JAX_PLATFORMS': 'nonexistent_platform',
+        'PYTHONPATH': f'{REPO_ROOT}:/some/axon_site_lookalike',
+        'XLA_FLAGS': '--xla_force_host_platform_device_count=1',
+    })
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert 'dryrun_multichip(8)' in result.stdout
+    assert 'OK' in result.stdout
+
+
+def test_dryrun_multichip_single_device_ambient():
+    # Ambient env exposes only 1 CPU device; the dry run must still build
+    # an 8-device mesh via its own forced host-platform device count.
+    result = _run_in_env({
+        'JAX_PLATFORMS': 'cpu',
+        'XLA_FLAGS': '',
+        'PYTHONPATH': REPO_ROOT,
+    })
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert 'OK' in result.stdout
+
+
+def test_sanitized_env_contents():
+    import __graft_entry__ as g
+    env = g._sanitized_env(8)
+    assert env['JAX_PLATFORMS'] == 'cpu'
+    assert '--xla_force_host_platform_device_count=8' in env['XLA_FLAGS']
+    assert 'axon' not in env['PYTHONPATH']
+    assert REPO_ROOT in env['PYTHONPATH'].split(':')
