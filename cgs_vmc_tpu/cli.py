@@ -58,6 +58,17 @@ def _build_config(args: argparse.Namespace, default_optimizer: str,
     return config
 
 
+def _resume_base(args: argparse.Namespace) -> Config | None:
+    """--resume without --config: reload the run's persisted config.json
+    (the reference likewise reread hparams.pbtxt from the run directory,
+    cgs_vmc/run_energy_evaluation.py:45-47)."""
+    if not (getattr(args, 'resume', False)
+            and not args.config and args.checkpoint_dir):
+        return None
+    path = os.path.join(args.checkpoint_dir, 'config.json')
+    return Config.load(path) if os.path.exists(path) else None
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog='cgs',
@@ -116,7 +127,8 @@ def main(argv=None) -> int:
 
     if args.command == 'train':
         from cgs_vmc_tpu.train import train
-        config = _build_config(args, default_optimizer='ITSWO')
+        config = _build_config(args, default_optimizer='ITSWO',
+                               base=_resume_base(args))
         if args.basis_file_path:
             config = config.replace(basis_file_path=args.basis_file_path)
         state = train(config, resume=args.resume)
@@ -130,7 +142,8 @@ def main(argv=None) -> int:
 
     if args.command == 'distill':
         from cgs_vmc_tpu.train import distill
-        config = _build_config(args, default_optimizer='SWO')
+        config = _build_config(args, default_optimizer='SWO',
+                               base=_resume_base(args))
         config = config.replace(supervisor_dir=args.supervisor_dir)
         distill(config, resume=args.resume)
         return 0

@@ -67,7 +67,16 @@ def j1j2_chain_bonds(n_sites: int, periodic: bool = True
     Per-bond couplings are then ``(1 - mask) + j2 * mask``."""
     nn = chain_bonds(n_sites, periodic)
     if periodic:
-        nnn = [(i, (i + 2) % n_sites) for i in range(n_sites)]
+        nnn, seen = [], set()
+        for i in range(n_sites):
+            j = (i + 2) % n_sites
+            key = (min(i, j), max(i, j))
+            # Dedup unordered pairs: an n=4 periodic chain emits each NNN
+            # bond twice ((0,2)/(2,0)), which would silently double J2.
+            if i == j or key in seen:
+                continue
+            seen.add(key)
+            nnn.append((i, j))
     else:
         nnn = [(i, i + 2) for i in range(n_sites - 2)]
     bonds = np.concatenate([nn, np.asarray(nnn, np.int32)], axis=0)

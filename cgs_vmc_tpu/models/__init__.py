@@ -61,7 +61,9 @@ def build_wavefunction(config) -> Wavefunction:
 
     if wf_type in COMPOSITE_TYPES:
         type_a, type_b = config.composite_wavefunction_types
-        act_a, act_b = config.composite_output_activations
+        # Unset activations default to 'exp' (raw log output), matching
+        # build_complex_wavefunction, instead of a KeyError at apply time.
+        act_a, act_b = (a or 'exp' for a in config.composite_output_activations)
         config_a = dataclasses.replace(
             config, wavefunction_type=type_a, output_activation=act_a)
         config_b = dataclasses.replace(
@@ -69,10 +71,12 @@ def build_wavefunction(config) -> Wavefunction:
         wf_a = WAVEFUNCTION_TYPES[type_a].from_config(config_a, name='wf_a')
         wf_b = WAVEFUNCTION_TYPES[type_b].from_config(config_b, name='wf_b')
         if wf_type == 'sum':
-            return wf_a + wf_b
-        if wf_type == 'diff':
-            return wf_a - wf_b
-        return wf_a * wf_b
+            composite = wf_a + wf_b
+        elif wf_type == 'diff':
+            composite = wf_a - wf_b
+        else:
+            composite = wf_a * wf_b
+        return maybe_symmetrize(composite, config)
 
     raise ValueError(
         f'Provided wavefunction_type is not registered: {wf_type!r}. '

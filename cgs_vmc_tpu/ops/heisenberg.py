@@ -139,15 +139,27 @@ class HeisenbergHamiltonian(Operator):
                     configs: jax.Array, amp: Optional[LogAmp] = None
                     ) -> jax.Array:
         chunk = self.sample_chunk
-        if chunk and configs.shape[0] > chunk and configs.shape[0] % chunk == 0:
-            slices = configs.reshape(-1, chunk, configs.shape[-1])
+        if chunk and configs.shape[0] > chunk:
+            # Pad to a chunk multiple (repeating the first sample) rather
+            # than silently falling back to the full fan-out the chunking
+            # exists to prevent; padded results are dropped.
+            batch = configs.shape[0]
+            n_chunks = -(-batch // chunk)
+            pad = n_chunks * chunk - batch
+            if pad:
+                filler = jnp.broadcast_to(
+                    configs[:1], (pad, configs.shape[-1]))
+                padded = jnp.concatenate([configs, filler], axis=0)
+            else:
+                padded = configs
+            slices = padded.reshape(n_chunks, chunk, configs.shape[-1])
 
             def one_chunk(c):
                 a = wf.apply(params, c)
                 return self.diagonal(c) + self._offdiag_ratio_sum(
                     wf, params, c, a)
 
-            return jax.lax.map(one_chunk, slices).reshape(-1)
+            return jax.lax.map(one_chunk, slices).reshape(-1)[:batch]
         if amp is None:
             amp = wf.apply(params, configs)
         return self.diagonal(configs) + self._offdiag_ratio_sum(

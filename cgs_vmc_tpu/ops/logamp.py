@@ -96,13 +96,17 @@ def ratio(num: LogAmp, den: LogAmp) -> jax.Array:
 
     Safe whenever the log difference is moderate — exactly the regime the
     Metropolis sampler and local-energy estimators live in.
+
+    The denominator sign enters as 1/s = conj(s): a no-op for real ±1
+    signs, but correct if a consumer ever carries a complex unit sign
+    (e.g. jnp.sign of a complex local value).
     """
-    return num.sign * den.sign * jnp.exp(num.log - den.log)
+    return num.sign * jnp.conj(den.sign) * jnp.exp(num.log - den.log)
 
 
 def log_abs_ratio(num: LogAmp, den: LogAmp) -> jax.Array:
-    """log |psi_num / psi_den|."""
-    return num.log - den.log
+    """log |psi_num / psi_den| (reads .real for complex logs)."""
+    return jnp.real(num.log) - jnp.real(den.log)
 
 
 def apply_activation(pre: jax.Array, activation: str) -> LogAmp:

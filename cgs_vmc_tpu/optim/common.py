@@ -143,8 +143,12 @@ def tree_weighted_diff(g_scaled: Params, g_plain: Params, coeff) -> Params:
 
 
 def normalized_ratio(amp_num, amp_den) -> jax.Array:
-    """sign-correct ratio psi_num/psi_den from two LogAmps."""
-    return amp_num.sign * amp_den.sign * jnp.exp(amp_num.log - amp_den.log)
+    """sign-correct ratio psi_num/psi_den from two LogAmps.
+
+    Uses conj(den.sign) for 1/sign — a no-op for real ±1 signs, correct
+    for complex unit signs (see ops/logamp.py::ratio)."""
+    return amp_num.sign * jnp.conj(amp_den.sign) * jnp.exp(
+        amp_num.log - amp_den.log)
 
 
 def grad_global_norm(grads: Params) -> jax.Array:

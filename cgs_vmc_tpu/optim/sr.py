@@ -49,10 +49,21 @@ def _jacobian_rows(fn, flat_params, configs, chunk: int):
     by the chunk instead of the full sample count (× the symmetry-orbit
     size for projected ansatzes)."""
     grad_rows = jax.vmap(jax.grad(fn), in_axes=(None, 0))
-    if chunk and configs.shape[0] > chunk and configs.shape[0] % chunk == 0:
-        slices = configs.reshape(-1, chunk, configs.shape[-1])
+    if chunk and configs.shape[0] > chunk:
+        # Pad to a chunk multiple (padded rows dropped) instead of silently
+        # falling back to the unchunked vmap whose activation memory the
+        # chunk setting exists to bound.
+        batch = configs.shape[0]
+        n_chunks = -(-batch // chunk)
+        pad = n_chunks * chunk - batch
+        if pad:
+            filler = jnp.broadcast_to(configs[:1], (pad, configs.shape[-1]))
+            padded = jnp.concatenate([configs, filler], axis=0)
+        else:
+            padded = configs
+        slices = padded.reshape(n_chunks, chunk, configs.shape[-1])
         rows = jax.lax.map(lambda c: grad_rows(flat_params, c), slices)
-        return rows.reshape(-1, rows.shape[-1])
+        return rows.reshape(-1, rows.shape[-1])[:batch]
     return grad_rows(flat_params, configs)
 
 

@@ -150,7 +150,7 @@ def save_config(directory: str, config) -> None:
 
 
 def checkpoint_epoch(path: str) -> int:
-    match = _CKPT_RE.search(path)
+    match = _CKPT_RE.search(path) or _ORBAX_RE.search(path)
     if not match:
         raise ValueError(f'Not a checkpoint path: {path}')
     return int(match.group(1))

@@ -74,3 +74,16 @@ def test_adjacency_from_bonds():
     adj = lattice.adjacency_from_bonds(lattice.chain_bonds(6), 6)
     assert adj.shape == (6, 2)
     assert set(adj[0].tolist()) == {1, 5}
+
+
+def test_j1j2_chain_nnn_dedup():
+    """n=4 periodic chain: each NNN bond must appear once, not twice
+    (round-1 ADVICE: duplicated NNN bonds doubled the effective J2)."""
+    from cgs_vmc_tpu.lattice import j1j2_chain_bonds
+    bonds, mask = j1j2_chain_bonds(4)
+    nnn = bonds[mask == 1.0]
+    keys = {tuple(sorted(b)) for b in nnn.tolist()}
+    assert len(keys) == len(nnn) == 2  # (0,2) and (1,3), once each
+    # Larger chain unaffected: n NNN bonds for n > 4.
+    bonds8, mask8 = j1j2_chain_bonds(8)
+    assert int(mask8.sum()) == 8

@@ -147,3 +147,19 @@ def test_chunked_local_value_matches_unchunked():
         wf, params, states)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-6)
+
+
+def test_chunked_local_value_non_divisible_batch():
+    """batch % sample_chunk != 0 must pad-and-chunk, not silently fall back
+    to the full fan-out (round-1 ADVICE: silent chunking skip)."""
+    vec = _random_sector_vector(11)
+    from cgs_vmc_tpu.models import FullVector as FV
+    wf = FV.for_sector(N, vec)
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))[:50]  # 50 % 16 != 0
+    full = HeisenbergHamiltonian(BONDS).local_value(wf, params, states)
+    chunked = HeisenbergHamiltonian(BONDS, sample_chunk=16).local_value(
+        wf, params, states)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6)

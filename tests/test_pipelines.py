@@ -225,3 +225,17 @@ def test_cli_eval_observables(tmp_path, capsys):
                    '--override', 'num_evaluation_samples=5'])
     assert rc == 0
     assert 'S(q=1pi):' in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_train_resume_orbax_backend(tmp_path):
+    """Resume with checkpoint_backend='orbax': round-1 bug — checkpoint_epoch
+    only matched .msgpack so orbax resume crashed after restoring."""
+    config = _config(tmp_path, num_epochs=4, checkpoint_backend='orbax')
+    train(config)
+    latest = ckpt_lib.latest_checkpoint(config.checkpoint_dir)
+    assert latest.endswith('.orbax')
+    assert ckpt_lib.checkpoint_epoch(latest) == 4
+    config2 = config.replace(num_epochs=6)
+    state2 = train(config2, resume=True)
+    assert int(state2.epoch) == 6

@@ -192,3 +192,21 @@ def test_cg_solver_matches_dense():
     for a, b in zip(jax.tree.leaves(delta_cg), jax.tree.leaves(delta_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_jacobian_chunking_non_divisible_batch():
+    """batch % sr_jacobian_chunk != 0 pads and chunks instead of silently
+    running the unchunked vmap (round-1 ADVICE)."""
+    config, wf, opt = _setup('dense')
+    params = wf.init(jax.random.key(10))
+    configs = basis.random_configurations(jax.random.key(11), N, 56)  # 56%16!=0
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_mean = jnp.mean(e_loc)
+    delta_full, _, _ = opt._dense_solve(configs, params, e_loc, e_mean, None)
+    opt.config = config.replace(sr_jacobian_chunk=16)
+    delta_chunked, _, _ = opt._dense_solve(configs, params, e_loc, e_mean,
+                                           None)
+    for a, b in zip(jax.tree.leaves(delta_full),
+                    jax.tree.leaves(delta_chunked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

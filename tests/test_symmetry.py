@@ -89,3 +89,20 @@ def test_symmetrize_requires_2d():
     config = Config(num_sites=8, wavefunction_type='rbm', symmetrize=True)
     with pytest.raises(ValueError, match='2-D lattice'):
         build_wavefunction(config)
+
+
+def test_composite_symmetrize_and_default_activation():
+    """symmetrize=True applies to 'sum'/'prod' composites too, and unset
+    composite activations default to 'exp' instead of a KeyError
+    (round-1 ADVICE)."""
+    config = Config(num_sites=16, size_x=4, size_y=4,
+                    wavefunction_type='prod',
+                    composite_wavefunction_types=('conv_2d', 'conv_2d'),
+                    num_conv_layers=1, num_conv_filters=2, kernel_size=3,
+                    symmetrize=True)
+    wf = build_wavefunction(config)
+    assert isinstance(wf, SymmetrizedWavefunction)
+    params = wf.init(jax.random.key(0))
+    configs = basis.random_configurations(jax.random.key(1), 16, 4)
+    amp = wf.apply(params, configs)
+    assert np.isfinite(np.asarray(amp.log)).all()
