@@ -97,9 +97,10 @@ def main(argv=None) -> int:
     _add_common(p_eval)
     p_eval.add_argument(
         '--observable', default='energy',
-        help="What to measure: 'energy' (default), 'szsz:<distance>' "
-             "(longitudinal spin-spin correlation at the given offset), "
-             "'transverse:<distance>' (SxSx+SySy, off-diagonal), "
+        help="What to measure: 'energy' (default), 'szsz:<dx>[;<dy>]' "
+             "(longitudinal spin-spin correlation at lattice displacement "
+             "(dx,dy); dy required iff size_y > 1), "
+             "'transverse:<dx>[;<dy>]' (SxSx+SySy, off-diagonal), "
              "'staggered_m2' (squared staggered magnetization), "
              "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
              "momentum in units of pi; qy required iff size_y > 1), or "
@@ -191,21 +192,60 @@ def main(argv=None) -> int:
                 return 0
             if observable == 'energy':
                 operator, label = hamiltonian, 'Energy'
-            elif observable.startswith('szsz:'):
-                from cgs_vmc_tpu.ops.observables import SzSzCorrelation
-                distance = int(observable.split(':', 1)[1])
-                pairs = [(i, (i + distance) % config.num_sites)
-                         for i in range(config.num_sites)]
-                operator = SzSzCorrelation(pairs)
-                label = f'SzSz(d={distance})'
-            elif observable.startswith('transverse:'):
-                from cgs_vmc_tpu.ops.observables import TransverseCorrelation
-                distance = int(observable.split(':', 1)[1])
-                pairs = [(i, (i + distance) % config.num_sites)
-                         for i in range(config.num_sites)]
-                operator = TransverseCorrelation(
-                    pairs, sample_chunk=config.energy_chunk_samples)
-                label = f'SxSx+SySy(d={distance})'
+            elif observable.startswith(('szsz:', 'transverse:')):
+                from cgs_vmc_tpu import lattice as lattice_lib
+                kind, spec = observable.split(':', 1)
+                parts = [int(v) for v in spec.split(';')]
+                is_2d = (config.size_y > 1
+                         and config.size_x * config.size_y
+                         == config.num_sites)
+                if is_2d and len(parts) != 2:
+                    print(f'{kind}: a {config.size_x}x{config.size_y} '
+                          'lattice needs a displacement VECTOR dx;dy '
+                          f'(got {spec!r})', file=sys.stderr)
+                    return 1
+                if not is_2d and len(parts) != 1:
+                    print(f'{kind}: a chain takes a scalar offset '
+                          f'(got {spec!r})', file=sys.stderr)
+                    return 1
+                dx, dy = (parts if is_2d else (parts[0], 0))
+                # True lattice pairs: the flat-index (i, (i+d) % N) pairing
+                # crosses row boundaries on a 2-D lattice.
+                pairs = lattice_lib.displacement_pairs(
+                    config.num_sites, config.size_x, config.size_y, dx, dy)
+                disp = f'({dx},{dy})' if is_2d else str(dx)
+                if kind == 'szsz':
+                    from cgs_vmc_tpu.ops.observables import SzSzCorrelation
+                    operator = SzSzCorrelation(pairs)
+                    label = f'SzSz(d={disp})'
+                else:
+                    from cgs_vmc_tpu.ops.observables import (
+                        TransverseCorrelation)
+                    operator = TransverseCorrelation(
+                        pairs, sample_chunk=config.energy_chunk_samples)
+                    label = f'SxSx+SySy(d={disp})'
+                    # Marshall-gauge correction (see
+                    # examples/measure_6x6_observables.py): a state trained
+                    # with jx < 0 is the gauge-rotated ground state
+                    # U = prod_B sigma^z, which flips Sx,Sy on sublattice B
+                    # — for pairs straddling sublattices the physical
+                    # transverse correlator is minus the measured one.
+                    if config.heisenberg_jx < 0:
+                        sub = lattice_lib.marshall_sublattice(
+                            config.num_sites, config.size_x, config.size_y)
+                        gauge = sub[pairs[:, 0]] * sub[pairs[:, 1]]
+                        if (gauge == gauge[0]).all():
+                            from cgs_vmc_tpu.evaluate import evaluate_operator
+                            result = evaluate_operator(
+                                wf, state.params, operator, config)
+                            physical = float(gauge[0]) * result.mean
+                            print(f'{label}: {result.mean} +/- '
+                                  f'{result.error}  [Marshall gauge]')
+                            print(f'{label} physical: {physical} +/- '
+                                  f'{result.error}')
+                            print('Acceptance rate: '
+                                  f'{result.acceptance_rate:.4f}')
+                            return 0
             elif observable.startswith('sq:'):
                 import numpy as np
                 from cgs_vmc_tpu.ops.observables import (

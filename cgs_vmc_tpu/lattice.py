@@ -162,6 +162,26 @@ def bonds_and_couplings_for_config(config
     return chain_bonds(config.num_sites), None
 
 
+def displacement_pairs(num_sites: int, size_x: int, size_y: int,
+                       dx: int, dy: int = 0) -> np.ndarray:
+    """All (i, i+Δ) site pairs at lattice displacement Δ (periodic).
+
+    On a square lattice (size_x·size_y == num_sites, both > 1) the
+    displacement is the 2-vector (dx, dy) in the site convention
+    site = x * size_y + y (see `square_lattice_bonds`); on a chain it is
+    the scalar offset dx.  One pair per site, [num_sites, 2] int32 — the
+    translation-averaged correlator estimator C(Δ) = (1/N) Σᵢ ⟨S_i S_{i+Δ}⟩.
+    """
+    if size_x > 1 and size_y > 1 and size_x * size_y == num_sites:
+        def site(x: int, y: int) -> int:
+            return (x % size_x) * size_y + (y % size_y)
+        pairs = [(site(x, y), site(x + dx, y + dy))
+                 for x in range(size_x) for y in range(size_y)]
+    else:
+        pairs = [(i, (i + dx) % num_sites) for i in range(num_sites)]
+    return np.asarray(pairs, dtype=np.int32)
+
+
 def marshall_sublattice(num_sites: int, size_x: int = 1, size_y: int = 1
                         ) -> np.ndarray:
     """Returns the ±1 sublattice mask for the Marshall sign rule.

@@ -87,3 +87,23 @@ def test_j1j2_chain_nnn_dedup():
     # Larger chain unaffected: n NNN bonds for n > 4.
     bonds8, mask8 = j1j2_chain_bonds(8)
     assert int(mask8.sum()) == 8
+
+
+def test_displacement_pairs_square_lattice():
+    """True lattice pairs at displacement (dx,dy) — the y-offset pairs must
+    match the hand-built construction in examples/measure_6x6_observables.py
+    and never cross row boundaries the way flat (i, i+d) pairing does."""
+    pairs = lattice.displacement_pairs(36, 6, 6, 0, 1)
+    expected = [(x * 6 + y, x * 6 + (y + 1) % 6)
+                for x in range(6) for y in range(6)]
+    assert [tuple(p) for p in pairs] == expected
+    # x-displacement wraps in x, keeps y.
+    pairs_x = lattice.displacement_pairs(36, 6, 6, 2, 0)
+    for i, j in pairs_x:
+        assert i % 6 == j % 6          # same y
+        assert (i // 6 + 2) % 6 == j // 6
+
+
+def test_displacement_pairs_chain():
+    pairs = lattice.displacement_pairs(8, 1, 1, 3)
+    assert [tuple(p) for p in pairs] == [(i, (i + 3) % 8) for i in range(8)]

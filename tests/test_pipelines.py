@@ -228,6 +228,45 @@ def test_cli_eval_observables(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_cli_eval_2d_displacement_observables(tmp_path, capsys):
+    """On a 2-D lattice szsz/transverse take a displacement VECTOR dx;dy
+    (round-1 review: the flat-index (i, i+d) pairing crossed row
+    boundaries); transverse with jx<0 reports the Marshall-gauge-corrected
+    physical value."""
+    run_dir = str(tmp_path / 'obs2d_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', '8', '--num_epochs', '1',
+        '--wavefunction_type', 'conv_2d',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'size_x=2,size_y=4,num_conv_layers=2,num_conv_filters=4,'
+        'kernel_size=3,batch_size=16,num_batches_per_epoch=1,'
+        'num_equilibration_sweeps=1',
+    ])
+    assert rc == 0
+    # Scalar offset on a 2-D lattice is rejected with a clear error.
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'szsz:1',
+                   '--override', 'num_evaluation_samples=3'])
+    assert rc == 1
+    assert 'displacement VECTOR' in capsys.readouterr().err
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'szsz:0;1',
+                   '--override', 'num_evaluation_samples=3'])
+    assert rc == 0
+    assert 'SzSz(d=(0,1)):' in capsys.readouterr().out
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'transverse:0;1',
+                   '--override', 'num_evaluation_samples=3'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '[Marshall gauge]' in out
+    assert 'physical:' in out
+
+
+@pytest.mark.slow
 def test_train_resume_orbax_backend(tmp_path):
     """Resume with checkpoint_backend='orbax': round-1 bug — checkpoint_epoch
     only matched .msgpack so orbax resume crashed after restoring."""
