@@ -51,6 +51,10 @@ class Config:
 
     # ResNet parameters.
     num_resnet_blocks: int = 2
+    # Use bottleneck residual blocks (1x1 reduce -> kxk -> 1x1 expand);
+    # the reference's BottleneckResBlock1d was unreachable AND crashed
+    # (layers.py:348 `_output_channels` never set) — here it's wired.
+    resnet_bottleneck: bool = False
 
     # MPS parameters.
     bond_dimension: int = 4

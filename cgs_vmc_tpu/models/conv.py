@@ -172,7 +172,7 @@ class ResNet1D(Wavefunction):
         block_apply = (nn.bottleneck1d_apply if self.bottleneck
                        else nn.resblock1d_apply)
         for i in range(self.num_blocks):
-            h = block_apply(params[f'block_{i}'], h)
+            h = block_apply(params[f'block_{i}'], h, self.conv_stride)
         pre = jnp.sum(h, axis=(1, 2))
         return logamp.apply_activation(pre, self.output_activation)
 
@@ -183,6 +183,7 @@ class ResNet1D(Wavefunction):
             num_filters=config.num_conv_filters,
             kernel_size=config.kernel_size,
             conv_stride=config.conv_strides,
+            bottleneck=config.resnet_bottleneck,
             output_activation=config.output_activation,
         )
         if name:
@@ -227,7 +228,7 @@ class ResNet2D(Wavefunction):
         block_apply = (nn.bottleneck2d_apply if self.bottleneck
                        else nn.resblock2d_apply)
         for i in range(self.num_blocks):
-            h = block_apply(params[f'block_{i}'], h)
+            h = block_apply(params[f'block_{i}'], h, self.conv_stride)
         pre = jnp.sum(h, axis=(1, 2, 3))
         return logamp.apply_activation(pre, self.output_activation)
 
@@ -238,6 +239,7 @@ class ResNet2D(Wavefunction):
             num_filters=config.num_conv_filters,
             kernel_size=config.kernel_size,
             conv_stride=config.conv_strides,
+            bottleneck=config.resnet_bottleneck,
             size_x=config.size_x,
             size_y=config.size_y,
             output_activation=config.output_activation,

@@ -155,10 +155,17 @@ def resblock1d_init(key: jax.Array, channels: int, kernel: int) -> dict:
 
 
 def resblock1d_apply(params: dict, x: jax.Array, stride: int = 1) -> jax.Array:
+    """selu-activated two-conv residual block (reference layers.py:231-295).
+
+    stride > 1 strides the FIRST conv and subsamples the identity shortcut
+    to match (the reference passed its conv_stride to both convs but any
+    stride != 1 crashed on the residual shape mismatch — here the knob
+    actually works, ResNet-v1 style)."""
     h = conv1d_periodic_apply(params['conv1'], x, stride)
     h = jax.nn.selu(h)
-    h = conv1d_periodic_apply(params['conv2'], h, stride)
-    return h + x
+    h = conv1d_periodic_apply(params['conv2'], h)
+    shortcut = x if stride == 1 else x[:, ::stride, :]
+    return h + shortcut
 
 
 def resblock2d_init(key: jax.Array, channels: int, kernel: int) -> dict:
@@ -170,10 +177,12 @@ def resblock2d_init(key: jax.Array, channels: int, kernel: int) -> dict:
 
 
 def resblock2d_apply(params: dict, x: jax.Array, stride: int = 1) -> jax.Array:
+    """2-D twin of `resblock1d_apply` (reference layers.py:163-228)."""
     h = conv2d_periodic_apply(params['conv1'], x, stride)
     h = jax.nn.selu(h)
-    h = conv2d_periodic_apply(params['conv2'], h, stride)
-    return h + x
+    h = conv2d_periodic_apply(params['conv2'], h)
+    shortcut = x if stride == 1 else x[:, ::stride, ::stride, :]
+    return h + shortcut
 
 
 def bottleneck1d_init(key: jax.Array, channels: int, kernel: int,
@@ -187,13 +196,15 @@ def bottleneck1d_init(key: jax.Array, channels: int, kernel: int,
     }
 
 
-def bottleneck1d_apply(params: dict, x: jax.Array) -> jax.Array:
+def bottleneck1d_apply(params: dict, x: jax.Array, stride: int = 1
+                       ) -> jax.Array:
     h = conv1d_periodic_apply(params['reduce'], x)
     h = jax.nn.relu(h)
-    h = conv1d_periodic_apply(params['conv'], h)
+    h = conv1d_periodic_apply(params['conv'], h, stride)
     h = jax.nn.relu(h)
     h = conv1d_periodic_apply(params['expand'], h)
-    return h + x
+    shortcut = x if stride == 1 else x[:, ::stride, :]
+    return h + shortcut
 
 
 def bottleneck2d_init(key: jax.Array, channels: int, kernel: int,
@@ -207,13 +218,15 @@ def bottleneck2d_init(key: jax.Array, channels: int, kernel: int,
     }
 
 
-def bottleneck2d_apply(params: dict, x: jax.Array) -> jax.Array:
+def bottleneck2d_apply(params: dict, x: jax.Array, stride: int = 1
+                       ) -> jax.Array:
     h = conv2d_periodic_apply(params['reduce'], x)
     h = jax.nn.relu(h)
-    h = conv2d_periodic_apply(params['conv'], h)
+    h = conv2d_periodic_apply(params['conv'], h, stride)
     h = jax.nn.relu(h)
     h = conv2d_periodic_apply(params['expand'], h)
-    return h + x
+    shortcut = x if stride == 1 else x[:, ::stride, ::stride, :]
+    return h + shortcut
 
 
 # ----------------------------------------------------------------------
