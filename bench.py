@@ -47,18 +47,19 @@ def main():
     a = jnp.zeros((n_sites,), jnp.float32)
     configs = basis.random_configurations(jax.random.key(1), n_sites,
                                           n_chains)
-    pairs = kernels.sample_pairs(jax.random.key(2),
-                                 sweeps_per_call * n_sites, n_sites)
+    picks = kernels.sample_picks(jax.random.key(2),
+                                 sweeps_per_call * n_sites, n_sites,
+                                 n_chains)
 
     # Warmup / compile.
-    out = kernels.rbm_sweeps(w, b, a, configs, pairs, jax.random.key(3))
+    out = kernels.rbm_sweeps(w, b, a, configs, picks, jax.random.key(3))
     jax.block_until_ready(out)
 
     best = float('inf')
     total_accepted = 0.0
     for rep in range(3):
         t0 = time.perf_counter()
-        out = kernels.rbm_sweeps(w, b, a, out.configs, pairs,
+        out = kernels.rbm_sweeps(w, b, a, out.configs, picks,
                                  jax.random.key(4 + rep))
         # Device->host transfer inside the timed region: unlike
         # block_until_ready (which some transports ack early), reading a

@@ -35,10 +35,10 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int,
                interpret: bool = False) -> SamplerState:
     """Drop-in replacement for metropolis.run_sweeps on pure-RBM ansatzes.
 
-    One sweep = n_sites shared-pair proposals (see kernels.py for the
-    proposal-schedule semantics).  The visible bias `b` of the onsite head
-    contributes a configuration-independent constant (Sz is conserved)
-    and is folded into log_amp exactly.
+    One sweep = n_sites independent per-chain exchange proposals with the
+    reference's down×up pick semantics (see kernels.py).  The visible bias
+    `b` of the onsite head contributes a configuration-independent constant
+    (Sz is conserved) and is folded into log_amp exactly.
     """
     if not supports(wf):
         raise ValueError('fast_rbm sampler requires a pure RBM '
@@ -49,9 +49,10 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int,
     w, b, a = _unpack(params)
 
     key0 = state.keys[0]
-    k_pairs, k_accept, k_next = jax.random.split(key0, 3)
-    pairs = kernels.sample_pairs(k_pairs, num_sweeps * n_sites, n_sites)
-    out = kernels.rbm_sweeps(w, b, a, state.configs, pairs, k_accept,
+    k_picks, k_accept, k_next = jax.random.split(key0, 3)
+    picks = kernels.sample_picks(k_picks, num_sweeps * n_sites, n_sites,
+                                 n_chains)
+    out = kernels.rbm_sweeps(w, b, a, state.configs, picks, k_accept,
                              block_chains=n_chains, interpret=interpret)
 
     # The onsite head's scalar bias adds a constant to every logψ; the

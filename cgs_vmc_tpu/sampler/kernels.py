@@ -10,21 +10,29 @@ with num_layers = 0) an exchange move admits an O(H) incremental update:
 instead of the O(N·H) full forward pass the generic sampler pays per
 proposal.  The kernel keeps configs, θ-caches and acceptance statistics
 VMEM-resident for the whole multi-sweep call and fuses proposal, ratio and
-accept/reject on the VPU — HBM traffic per invocation is one load + one
-store of the chain state plus the streamed randomness.
+accept/reject on the VPU/MXU — HBM traffic per invocation is one load +
+one store of the chain state plus the streamed randomness.
 
-Proposal schedule: a *shared pair scan* — every step exchanges one random
-site pair (i_t, j_t), the same pair for all chains (pairs are sampled on
-host, unbiased).  Exchanging equal spins is a no-op and is masked
-inactive.  Each step is a valid symmetric-proposal Metropolis kernel for
-|ψ|², so the scan composition preserves the Born distribution; chains
-share the pair SEQUENCE (common random numbers) but accept/reject with
-independent per-chain uniforms, keeping the reference's acceptance rule
-(|ψ'/ψ|² > u, cgs_vmc/graph_builders.py:75-79) and Sz conservation.
+Proposal schedule: INDEPENDENT PER-CHAIN exchange moves with the
+reference's pick semantics (cgs_vmc/graph_builders.py:59-65): each chain
+independently exchanges one uniformly random −1 spin with one uniformly
+random +1 spin each step (always Sz-conserving, always an active
+proposal), accepted with |ψ'/ψ|² > u.  The picks are streamed as per-chain
+RANKS (k-th down spin, k-th up spin) — which are configuration-independent
+because exchange moves conserve the spin counts — and resolved to site
+one-hots in-kernel with a Hillis–Steele cumulative count along the site
+(sublane) axis.  Chains share nothing: no common random numbers, so batch
+means over the 2048 chains carry no cross-chain covariance (round-1 review
+flagged the previous shared-pair schedule for exactly that).
 
-Randomness enters as explicit inputs (pairs + acceptance uniforms from
-`jax.random`), making the kernel a deterministic pure function — bitwise
-comparable against the pure-JAX oracle on any backend.
+Per-chain site selection is one-hot based: Δθ for all chains is ONE
+[chains, n_sites] × [n_sites, hidden] matmul on the MXU rather than a
+per-chain gather (scalar gathers are the slow path on TPU; a small dense
+contraction is the fast one).
+
+Randomness enters as explicit inputs (rank picks + acceptance uniforms
+from `jax.random`), making the kernel a deterministic pure function —
+bitwise comparable against the pure-JAX oracle on any backend.
 """
 
 from __future__ import annotations
@@ -51,56 +59,78 @@ class RbmSweepResult(NamedTuple):
     num_accepted: jax.Array  # [chains] accepted-move counts this call
 
 
-def _sweep_kernel(pairs_ref,                          # scalar prefetch
-                  configs_ref, theta_ref, logamp_ref,
-                  w_ref, a_ref, log_u_ref,
+def _inclusive_cumsum_rows(x, n_rows):
+    """Hillis–Steele inclusive scan along the sublane (row) axis.
+
+    Mosaic has no native cumsum; log2(n_rows) circular rolls with the
+    wrapped rows masked out implement it in ~3·log2(n) cheap vector ops.
+    """
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < n_rows:
+        rolled = pltpu.roll(x, shift=shift, axis=0)
+        x = x + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
+                  w_ref, a_ref, kd_ref, ku_ref, log_u_ref,
                   out_configs, out_theta, out_logamp, out_accepted):
-    """One grid step = one chain block; full multi-sweep loop inside.
+    """One grid step = one chain block; a chunk of steps looped inside.
 
     Layout: configs are [n_sites, chains] (sites on sublanes, chains on
-    lanes) so the per-step dynamic site indexing is a sublane-dimension
-    ref slice — the fast, supported Mosaic path.  theta/logψ are carried
-    as loop values; the config ref is updated in place.
+    lanes — 36 sites use lanes 3.2× better than the transpose).  theta,
+    logcosh(theta) and logψ are carried as loop values; the config ref is
+    updated in place.
     """
     n_steps = log_u_ref.shape[0]
+    n_sites = configs_ref.shape[0]
     n_chains = theta_ref.shape[0]
 
     out_configs[:] = configs_ref[:]
+    # Mosaic supports integer iota only; convert for the f32 rank compare.
+    row = lax.broadcasted_iota(
+        jnp.int32, (n_sites, n_chains), 0).astype(jnp.float32)
 
     def step(t, carry):
         # lc = logcosh(theta) is carried across steps: only the PROPOSED
         # theta needs a fresh transcendental evaluation each step.
         theta, lc, log_amp, accepted = carry
-        i = pairs_ref[t, 0]
-        j = pairs_ref[t, 1]
+        cfg = out_configs[:]                      # [n_sites, chains]
+        k_down = kd_ref[pl.ds(t, 1), :]           # [1, chains] f32 ranks
+        k_up = ku_ref[pl.ds(t, 1), :]
 
-        s_i = out_configs[pl.ds(i, 1), :]         # [1, chains]
-        s_j = out_configs[pl.ds(j, 1), :]
-        flip = (s_j - s_i)[0]                     # [chains]; ±2 if active
-        active = flip != 0.0
+        down = 0.5 * (1.0 - cfg)                  # 1.0 on −1 spins
+        count = _inclusive_cumsum_rows(down, n_sites)
+        rank_down = count - down                  # exclusive count of downs
+        rank_up = row - count                     # exclusive count of ups
+        onehot_down = down * (rank_down == k_down).astype(jnp.float32)
+        onehot_up = (1.0 - down) * (rank_up == k_up).astype(jnp.float32)
+        delta = 2.0 * (onehot_down - onehot_up)   # [n_sites, chains]
 
-        w_i = w_ref[pl.ds(i, 1), :]               # [1, hidden]
-        w_j = w_ref[pl.ds(j, 1), :]
-        d_w = (w_i - w_j)[0]                      # [hidden]
-        theta_new = theta + flip[:, None] * d_w[None, :]
+        # Δθ for every chain in one MXU contraction over the site axis.
+        d_theta = lax.dot_general(
+            delta, w_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [chains, hidden]
+        theta_new = theta + d_theta
         lc_new = _log_cosh(theta_new)
 
-        a_i = a_ref[0, i]
-        a_j = a_ref[0, j]
-        d_onsite = flip * (a_i - a_j)
+        d_onsite = jnp.sum(delta * a_ref[:], axis=0)          # [chains]
         d_log = d_onsite + jnp.sum(lc_new - lc, axis=-1)
 
         log_u = log_u_ref[pl.ds(t, 1), :][0]      # [chains]
         # f32 mask arithmetic: Mosaic cannot reshape/broadcast i1 vectors
         # along the minor dim, and select == lerp-by-mask here anyway.
-        acc = (jnp.logical_and(active, 2.0 * d_log > log_u)
-               ).astype(jnp.float32)              # [chains]
+        # Moves are always active (one −1 and one +1 site always selected
+        # in the Sz-conserving sector), so acceptance is the pure
+        # |ψ'/ψ|² > u rule (cgs_vmc/graph_builders.py:75-79).
+        acc = (2.0 * d_log > log_u).astype(jnp.float32)       # [chains]
 
-        acc_row = acc[None, :]
-        out_configs[pl.ds(i, 1), :] = s_i + acc_row * (s_j - s_i)
-        out_configs[pl.ds(j, 1), :] = s_j + acc_row * (s_i - s_j)
+        out_configs[:] = cfg + acc[None, :] * delta
         acc_col = acc[:, None]
-        theta = theta + acc_col * (theta_new - theta)
+        theta = theta + acc_col * d_theta
         lc = lc + acc_col * (lc_new - lc)
         log_amp = log_amp + acc * d_log
         accepted = accepted + acc
@@ -117,17 +147,19 @@ def _sweep_kernel(pairs_ref,                          # scalar prefetch
 
 @functools.partial(jax.jit, static_argnames=('block_chains', 'interpret'))
 def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
-               configs: jax.Array, pairs: jax.Array, key: jax.Array,
+               configs: jax.Array, picks: jax.Array, key: jax.Array,
                block_chains: int = 2048, interpret: bool = False
                ) -> RbmSweepResult:
-    """Runs len(pairs) fused exchange steps on all chains.
+    """Runs len(picks) fused per-chain exchange steps on all chains.
 
     Args:
       w: [n_sites, hidden] RBM kernel.
       b: [hidden] hidden bias.
       a: [n_sites] visible (on-site) bias.
-      configs: [chains, n_sites] ±1 float32.
-      pairs: [n_steps, 2] int32 site pairs (host-sampled, shared by chains).
+      configs: [chains, n_sites] ±1 float32 (Sz = 0 sector).
+      picks: [n_steps, chains, 2] int32 per-chain (k_down, k_up) rank
+        picks from `sample_picks` — chain c exchanges its k_down-th −1
+        spin with its k_up-th +1 spin at each step.
       key: PRNG key for per-chain acceptance uniforms.
       block_chains: chains per kernel instance (VMEM budget knob).
       interpret: run under the TPU-semantics interpreter (CPU tests).
@@ -138,51 +170,61 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     hidden = w.shape[1]
     if n_chains % block_chains:
         raise ValueError(f'chains {n_chains} % block {block_chains} != 0')
-    n_steps = pairs.shape[0]
+    n_steps = picks.shape[0]
     # One kernel invocation handles one sweep's worth of steps; longer runs
     # scan over invocations (keeps Mosaic compile time flat and the
-    # uniforms block within VMEM budget).  Pad to a whole number of chunks
-    # with no-op steps (i == j exchanges are masked inactive).
+    # randomness blocks within VMEM budget).  Pad to a whole number of
+    # chunks with rejected no-op steps (log_u = +inf never accepts and the
+    # padded rank picks leave the state untouched on rejection).
     chunk = min(n_steps, max(n_sites, 8))
     n_chunks = -(-n_steps // chunk)
     pad = n_chunks * chunk - n_steps
+    log_u = jnp.log(jax.random.uniform(key, (n_steps, n_chains),
+                                       jnp.float32))
     if pad:
-        pairs = jnp.concatenate(
-            [pairs, jnp.zeros((pad, 2), jnp.int32)], axis=0)
+        picks = jnp.concatenate(
+            [picks, jnp.zeros((pad, n_chains, 2), jnp.int32)], axis=0)
+        log_u = jnp.concatenate(
+            [log_u, jnp.full((pad, n_chains), jnp.inf, jnp.float32)], axis=0)
 
     theta = configs @ w + b                    # [chains, hidden]
     onsite = configs @ a                       # [chains]
     log_amp = onsite + jnp.sum(_log_cosh(theta), axis=-1)
-    log_u = jnp.log(jax.random.uniform(key, (n_chunks * chunk, n_chains),
-                                       jnp.float32))
     configs_t = configs.T                      # [n_sites, chains]
+    # Rank picks as f32 rows: the kernel compares them against f32
+    # cumulative counts (integer-valued floats are exact far beyond n_sites).
+    kd = picks[:, :, 0].astype(jnp.float32)
+    ku = picks[:, :, 1].astype(jnp.float32)
 
     grid = (n_chains // block_chains,)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_sites, block_chains), lambda g, *_: (0, g),
+            pl.BlockSpec((n_sites, block_chains), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_chains, hidden), lambda g, *_: (g, 0),
+            pl.BlockSpec((block_chains, hidden), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_chains,), lambda g, *_: (g,),
+            pl.BlockSpec((block_chains,), lambda g: (g,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_sites, hidden), lambda g, *_: (0, 0),
+            pl.BlockSpec((n_sites, hidden), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_sites), lambda g, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, block_chains), lambda g, *_: (0, g),
+            pl.BlockSpec((n_sites, 1), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, block_chains), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, block_chains), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, block_chains), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_sites, block_chains), lambda g, *_: (0, g),
+            pl.BlockSpec((n_sites, block_chains), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_chains, hidden), lambda g, *_: (g, 0),
+            pl.BlockSpec((block_chains, hidden), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_chains,), lambda g, *_: (g,),
+            pl.BlockSpec((block_chains,), lambda g: (g,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_chains,), lambda g, *_: (g,),
+            pl.BlockSpec((block_chains,), lambda g: (g,),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -193,7 +235,6 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
         jax.ShapeDtypeStruct((n_chains,), jnp.float32),
         jax.ShapeDtypeStruct((n_chains,), jnp.float32),
     ]
-    # bool interpret=True selects the TPU-semantics interpreter.
     interpret_mode = pltpu.InterpretParams() if interpret else False
     kernel_call = pl.pallas_call(
         _sweep_kernel,
@@ -201,16 +242,18 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
         out_shape=out_shapes,
         interpret=interpret_mode,
     )
-    a_row = a.reshape(1, n_sites)
+    a_col = a.reshape(n_sites, 1)
 
     def chunk_step(carry, inputs):
         configs_t, theta, log_amp, accepted = carry
-        pairs_chunk, log_u_chunk = inputs
+        kd_chunk, ku_chunk, log_u_chunk = inputs
         configs_t, theta, log_amp, acc = kernel_call(
-            pairs_chunk, configs_t, theta, log_amp, w, a_row, log_u_chunk)
+            configs_t, theta, log_amp, w, a_col,
+            kd_chunk, ku_chunk, log_u_chunk)
         return (configs_t, theta, log_amp, accepted + acc), None
 
-    xs = (pairs.reshape(n_chunks, chunk, 2),
+    xs = (kd.reshape(n_chunks, chunk, n_chains),
+          ku.reshape(n_chunks, chunk, n_chains),
           log_u.reshape(n_chunks, chunk, n_chains))
     init = (configs_t, theta, log_amp, jnp.zeros((n_chains,), jnp.float32))
     (new_configs_t, new_theta, new_logamp, accepted), _ = lax.scan(
@@ -224,13 +267,13 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     return RbmSweepResult(new_configs, new_theta, new_logamp, accepted)
 
 
-def rbm_sweeps_reference(w, b, a, configs, pairs, key) -> RbmSweepResult:
-    """Pure-JAX implementation of the same shared-pair-scan semantics
+def rbm_sweeps_reference(w, b, a, configs, picks, key) -> RbmSweepResult:
+    """Pure-JAX implementation of the same per-chain rank-pick semantics
     (full recompute per step) — the correctness oracle for the kernel.
-    Consumes the SAME uniforms as the kernel, so results are bitwise
-    comparable up to float associativity."""
-    n_steps = pairs.shape[0]
-    n_chains = configs.shape[0]
+    Consumes the SAME picks and uniforms as the kernel, so results are
+    bitwise comparable up to float associativity."""
+    n_steps = picks.shape[0]
+    n_chains, n_sites = configs.shape
     log_u = jnp.log(jax.random.uniform(key, (n_steps, n_chains),
                                        jnp.float32))
 
@@ -240,29 +283,41 @@ def rbm_sweeps_reference(w, b, a, configs, pairs, key) -> RbmSweepResult:
 
     def step(carry, inputs):
         configs, accepted = carry
-        pair, log_u_t = inputs
-        i, j = pair[0], pair[1]
-        s_i, s_j = configs[:, i], configs[:, j]
-        active = s_i != s_j
-        proposed = configs.at[:, i].set(s_j).at[:, j].set(s_i)
+        pick, log_u_t = inputs
+        down = (configs < 0)
+        rank_down = jnp.cumsum(down, axis=1) - down
+        rank_up = jnp.cumsum(~down, axis=1) - ~down
+        onehot_down = down & (rank_down == pick[:, 0][:, None])
+        onehot_up = ~down & (rank_up == pick[:, 1][:, None])
+        delta = 2.0 * (onehot_down.astype(jnp.float32)
+                       - onehot_up.astype(jnp.float32))
+        proposed = configs + delta
         d_log = log_psi(proposed) - log_psi(configs)
-        accept = jnp.logical_and(active, 2.0 * d_log > log_u_t)
+        accept = 2.0 * d_log > log_u_t
         configs = jnp.where(accept[:, None], proposed, configs)
         accepted = accepted + accept.astype(jnp.float32)
         return (configs, accepted), None
 
     init = (configs, jnp.zeros((n_chains,), jnp.float32))
-    (configs, accepted), _ = lax.scan(step, init, (pairs, log_u))
+    (configs, accepted), _ = lax.scan(step, init, (picks, log_u))
     theta = configs @ w + b
     log_amp = configs @ a + jnp.sum(_log_cosh(theta), axis=-1)
     return RbmSweepResult(configs, theta, log_amp, accepted)
 
 
-def sample_pairs(key: jax.Array, num_steps: int, n_sites: int) -> jax.Array:
-    """Host-side unbiased random site pairs (i != j), [num_steps, 2] i32."""
-    key_i, key_j = jax.random.split(key)
-    i = jax.random.randint(key_i, (num_steps,), 0, n_sites)
-    # j uniform over the remaining n_sites - 1 sites.
-    j = jax.random.randint(key_j, (num_steps,), 0, n_sites - 1)
-    j = jnp.where(j >= i, j + 1, j)
-    return jnp.stack([i, j], axis=1).astype(jnp.int32)
+def sample_picks(key: jax.Array, num_steps: int, n_sites: int,
+                 n_chains: int) -> jax.Array:
+    """Per-chain (k_down, k_up) rank picks, [num_steps, n_chains, 2] i32.
+
+    In the Sz = 0 sector every configuration has exactly n_sites//2 down
+    and n_sites − n_sites//2 up spins (exchange moves conserve both), so
+    a uniform rank is a uniform pick of a down/up SITE regardless of the
+    configuration — the reference's noise-weighted argmin/argmax pick
+    (cgs_vmc/graph_builders.py:59-65) in streamable form.
+    """
+    key_d, key_u = jax.random.split(key)
+    n_down = n_sites // 2
+    n_up = n_sites - n_down
+    kd = jax.random.randint(key_d, (num_steps, n_chains), 0, n_down)
+    ku = jax.random.randint(key_u, (num_steps, n_chains), 0, n_up)
+    return jnp.stack([kd, ku], axis=-1).astype(jnp.int32)

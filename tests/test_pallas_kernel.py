@@ -28,21 +28,21 @@ def _log_psi(w, b, a, configs):
     return configs @ a + jnp.sum(log_cosh, axis=-1)
 
 
-def _run(w, b, a, configs, pairs, key):
-    return kernels.rbm_sweeps(w, b, a, configs, pairs, key,
+def _run(w, b, a, configs, picks, key):
+    return kernels.rbm_sweeps(w, b, a, configs, picks, key,
                               block_chains=CHAINS, interpret=True)
 
 
 def test_kernel_matches_reference_exactly():
-    """Same pairs + same uniforms => identical trajectories (the kernel's
+    """Same picks + same uniforms => identical trajectories (the kernel's
     incremental updates vs the oracle's full recomputation)."""
     w, b, a = _rbm_params(jax.random.key(0))
     configs = basis.random_configurations(jax.random.key(1), N, CHAINS)
-    pairs = kernels.sample_pairs(jax.random.key(2), 64, N)
+    picks = kernels.sample_picks(jax.random.key(2), 64, N, CHAINS)
     key = jax.random.key(3)
 
-    out = _run(w, b, a, configs, pairs, key)
-    ref = kernels.rbm_sweeps_reference(w, b, a, configs, pairs, key)
+    out = _run(w, b, a, configs, picks, key)
+    ref = kernels.rbm_sweeps_reference(w, b, a, configs, picks, key)
 
     np.testing.assert_array_equal(np.asarray(out.configs),
                                   np.asarray(ref.configs))
@@ -57,8 +57,8 @@ def test_theta_and_logamp_caches_consistent():
     """Incremental θ/logψ updates must equal full recomputation."""
     w, b, a = _rbm_params(jax.random.key(4))
     configs = basis.random_configurations(jax.random.key(5), N, CHAINS)
-    pairs = kernels.sample_pairs(jax.random.key(6), 64, N)
-    out = _run(w, b, a, configs, pairs, jax.random.key(7))
+    picks = kernels.sample_picks(jax.random.key(6), 64, N, CHAINS)
+    out = _run(w, b, a, configs, picks, jax.random.key(7))
 
     np.testing.assert_allclose(
         np.asarray(out.theta), np.asarray(out.configs @ w + b),
@@ -72,8 +72,8 @@ def test_theta_and_logamp_caches_consistent():
 def test_moves_conserve_sz():
     w, b, a = _rbm_params(jax.random.key(8))
     configs = basis.random_configurations(jax.random.key(9), N, CHAINS)
-    pairs = kernels.sample_pairs(jax.random.key(10), 100, N)
-    out = _run(w, b, a, configs, pairs, jax.random.key(11))
+    picks = kernels.sample_picks(jax.random.key(10), 100, N, CHAINS)
+    out = _run(w, b, a, configs, picks, jax.random.key(11))
     arr = np.asarray(out.configs)
     assert set(np.unique(arr)) <= {-1.0, 1.0}
     np.testing.assert_array_equal(arr.sum(axis=1), np.zeros(CHAINS))
@@ -87,10 +87,67 @@ def test_always_reject():
     configs = basis.random_configurations(jax.random.key(12), N, CHAINS)
     a = 50.0 * configs[0]
     same = jnp.tile(configs[0][None, :], (CHAINS, 1))
-    pairs = kernels.sample_pairs(jax.random.key(13), 50, N)
-    out = _run(w, b, a, same, pairs, jax.random.key(14))
+    picks = kernels.sample_picks(jax.random.key(13), 50, N, CHAINS)
+    out = _run(w, b, a, same, picks, jax.random.key(14))
     np.testing.assert_array_equal(np.asarray(out.configs), np.asarray(same))
     assert float(out.num_accepted.sum()) == 0.0
+
+
+def test_picks_are_per_chain_independent():
+    """Round-1 review: shared pairs coupled chains through common random
+    numbers.  The rank picks must differ ACROSS chains within a step, and
+    two chains started from the same config with the same wavefunction
+    must follow different trajectories."""
+    picks = np.asarray(kernels.sample_picks(jax.random.key(20), 40, N, 64))
+    # At least one step where not all chains share the same pick.
+    per_step_unique = [len(np.unique(picks[t, :, 0])) for t in range(40)]
+    assert max(per_step_unique) > 1
+
+    w, b, a = _rbm_params(jax.random.key(21), scale=0.1)
+    start = basis.random_configurations(jax.random.key(22), N, 1)
+    same = jnp.tile(start, (CHAINS, 1))
+    picks = kernels.sample_picks(jax.random.key(23), 4 * N, N, CHAINS)
+    out = _run(w, b, a, same, picks, jax.random.key(24))
+    arr = np.asarray(out.configs)
+    assert np.unique(arr, axis=0).shape[0] > 1
+
+
+@pytest.mark.slow
+def test_cross_chain_batch_mean_variance():
+    """Independence oracle: the variance of the cross-chain batch mean of
+    an observable must match the independent-chain prediction
+    var(mean) ≈ var(single chain) / n_chains (within MC error).  Under the
+    old shared-pair schedule chains were positively correlated and this
+    ratio inflated."""
+    w, b, a = _rbm_params(jax.random.key(30), scale=0.15)
+    chains = 512
+    configs = basis.random_configurations(jax.random.key(31), N, chains)
+    # Equilibrate.
+    picks = kernels.sample_picks(jax.random.key(32), 20 * N, N, chains)
+    configs = kernels.rbm_sweeps(w, b, a, configs, picks, jax.random.key(33),
+                                 block_chains=chains, interpret=True).configs
+    # Collect batch means of a spin-pair observable over repeated blocks.
+    batch_means = []
+    values = []
+    for it in range(30):
+        picks = kernels.sample_picks(jax.random.key(40 + 2 * it), 2 * N, N,
+                                     chains)
+        out = kernels.rbm_sweeps(w, b, a, configs, picks,
+                                 jax.random.key(41 + 2 * it),
+                                 block_chains=chains, interpret=True)
+        configs = out.configs
+        obs = np.asarray(configs[:, 0] * configs[:, 1])   # per-chain ±1
+        batch_means.append(obs.mean())
+        values.append(obs)
+    values = np.concatenate(values)
+    var_single = values.var()
+    var_mean = np.var(batch_means, ddof=1)
+    # Independent chains: var_mean ≈ var_single / chains (decorrelated
+    # blocks).  Allow generous slack for autocorrelation noise, but a
+    # shared-schedule coupling inflates this by O(chains), not O(1).
+    assert var_mean < 6.0 * var_single / chains, (
+        f'batch-mean variance {var_mean:.3e} vs independent prediction '
+        f'{var_single / chains:.3e} — chains look correlated')
 
 
 @pytest.mark.slow
@@ -112,8 +169,9 @@ def test_kernel_samples_born_distribution():
 
     counts = np.zeros(states.shape[0])
     for it in range(50):
-        pairs = kernels.sample_pairs(jax.random.key(2 * it), 2 * N, N)
-        out = kernels.rbm_sweeps(w, b, a, configs, pairs,
+        picks = kernels.sample_picks(jax.random.key(2 * it), 2 * N, N,
+                                     chains)
+        out = kernels.rbm_sweeps(w, b, a, configs, picks,
                                  jax.random.key(2 * it + 1),
                                  block_chains=chains, interpret=True)
         configs = out.configs
