@@ -120,7 +120,6 @@ class StochasticReconfiguration:
         amp = wf.apply(params, all_configs)
         e_loc = lax.stop_gradient(
             ham.local_value(wf, params, all_configs, amp))
-        is_complex = jnp.iscomplexobj(e_loc)
         e_mean = common.pmean(jnp.mean(e_loc), axis_name)
         e2_mean = common.pmean(jnp.mean(jnp.abs(e_loc) ** 2), axis_name)
 
@@ -128,11 +127,6 @@ class StochasticReconfiguration:
             return wf.apply(p, all_configs).log
 
         solver = cfg.sr_solver
-        if is_complex and solver == 'cg':
-            raise NotImplementedError(
-                "Complex-log ansatzes require sr_solver='dense' or "
-                "'sample_cg' (the parameter-space CG matvec is "
-                'real-Jacobian only).')
         if solver == 'dense':
             delta, grad_e, residual_norm = self._dense_solve(
                 all_configs, params, e_loc, e_mean, axis_name)
@@ -368,23 +362,52 @@ class StochasticReconfiguration:
         return unravel(delta_flat), unravel(grad_flat), residual_norm
 
     def _cg_solve(self, log_fn, params, e_loc, e_mean, m_local, axis_name):
-        """Matrix-free CG in parameter space (O(params) memory)."""
+        """Matrix-free CG in parameter space (O(params) memory).
+
+        Complex logs: with real parameters θ the metric is
+        S = Re⟨O†O⟩c = (J_reᵀJ_re + J_imᵀJ_im)/M and the force
+        f = Re⟨O*(E−Ē)⟩ = (J_reᵀ Re ε + J_imᵀ Im ε)/M, so the matvec is
+        the sum of the real and imaginary parts' matvecs — each built
+        from jvp/vjp of a REAL-valued function (no complex cotangents).
+        Real-log ansatzes take the single-part path unchanged.
+        """
         cfg = self.config
-        _, jvp_fn = jax.linearize(log_fn, params)
-        _, pullback = jax.vjp(log_fn, params)
+        out = jax.eval_shape(log_fn, params)
+        if jnp.issubdtype(out.dtype, jnp.complexfloating):
+            parts = [lambda p: jnp.real(log_fn(p)),
+                     lambda p: jnp.imag(log_fn(p))]
+            eps_parts = [jnp.real(e_loc - e_mean), jnp.imag(e_loc - e_mean)]
+        else:
+            parts = [log_fn]
+            eps_parts = [jnp.real(e_loc - e_mean)]
 
-        def jt(weights):
-            return common.pmean(pullback(weights)[0], axis_name)
+        jvp_fns, jt_fns = [], []
+        for part in parts:
+            _, jvp_fn = jax.linearize(part, params)
+            _, pullback = jax.vjp(part, params)
+            jvp_fns.append(jvp_fn)
+            jt_fns.append(
+                lambda w, pb=pullback: common.pmean(pb(w)[0], axis_name))
 
-        grad_e = jt((e_loc - e_mean) / m_local)
+        def tree_sum(trees):
+            out = trees[0]
+            for t in trees[1:]:
+                out = jax.tree.map(jnp.add, out, t)
+            return out
+
+        grad_e = tree_sum([jt(eps / m_local)
+                           for jt, eps in zip(jt_fns, eps_parts)])
 
         def matvec(v):
             # Algebraically centered: S v = <O·(jv − <jv>)> exactly —
             # avoids the large-value cancellation that amplifies TPU
             # matmul rounding into CG divergence.
-            jv = jvp_fn(v)
-            jv_mean = common.pmean(jnp.mean(jv), axis_name)
-            sv = jt((jv - jv_mean) / m_local)
+            svs = []
+            for jvp_fn, jt in zip(jvp_fns, jt_fns):
+                jv = jvp_fn(v)
+                jv_mean = common.pmean(jnp.mean(jv), axis_name)
+                svs.append(jt((jv - jv_mean) / m_local))
+            sv = tree_sum(svs)
             return jax.tree.map(
                 lambda a, c: a + cfg.sr_diag_shift * c, sv, v)
 

@@ -47,8 +47,20 @@ def _ema_update(shadow: jax.Array, value: jax.Array, num_updates: jax.Array,
 
 
 def _normalized_psi(log: jax.Array) -> jax.Array:
-    """psi / stop_grad(psi): value 1, gradient ∇logψ (sign cancels)."""
+    """psi / stop_grad(psi): value 1, gradient ∇logψ (sign cancels).
+
+    With a complex log the value is 1+0j and the gradient is the complex
+    O = ∂log|ψ| + i·∂phase — the L2 losses below then differentiate
+    |residual|², which is the conjugate-correct complex SWO objective."""
     return jnp.exp(log - lax.stop_gradient(log))
+
+
+def _residual_l2(z: jax.Array) -> jax.Array:
+    """mean(|z|²) — equals the reference's mean(z²) for real residuals and
+    is the correct modulus-squared loss for complex ones (JAX propagates
+    d|z|²/dθ = 2·Re[z*·dz/dθ] through complex intermediates to the real
+    parameters automatically)."""
+    return jnp.mean(jnp.real(z * jnp.conj(z)))
 
 
 class _SWOBase:
@@ -159,7 +171,7 @@ class LogOverlapImaginaryTimeSWO(_SWOBase):
             # 1/ψ contributes conj-free division: ψ_ω/ψ = s_ω s e^{l_ω−l}
             # exactly as in the real case (|s|=1, s real here).
             ratio = lax.stop_gradient(
-                amp_omega.sign * amp.sign
+                amp_omega.sign * jnp.conj(amp.sign)
                 * (1.0 - beta * e_loc_omega)
                 * jnp.exp(amp_omega.log - amp.log))
 
@@ -236,19 +248,25 @@ class ImaginaryTimeSWO(_SWOBase):
 
             amp_omega = wf.apply(omega, configs)
             e_loc_omega = ham.local_value(wf, omega, configs, amp_omega)
-            e_mean = common.pmean(jnp.mean(e_loc_omega), axis_name)
-            e2_mean = common.pmean(jnp.mean(e_loc_omega ** 2), axis_name)
+            # N² = <ψ|(1−βH)²|ψ>/<ψ|ψ> = 1 − 2β<H> + β²<H²> with
+            # <H> = E[Re E_loc] and <H²> = E[|E_loc|²] (H Hermitian) —
+            # |·|² and Re are no-ops for real-log ansatzes.
+            e_mean = common.pmean(jnp.mean(jnp.real(e_loc_omega)), axis_name)
+            e2_mean = common.pmean(jnp.mean(jnp.abs(e_loc_omega) ** 2),
+                                   axis_name)
             ite_norm = jnp.sqrt(1.0 - 2.0 * beta * e_mean
                                 + beta ** 2 * e2_mean)
 
             def loss_fn(p):
                 amp = wf.apply(p, configs)
+                # (ψ_ω − βHψ_ω)/ψ: 1/ψ contributes conj(sign)/exp(log)
+                # (|s| = 1; conj is a no-op for real ±1 signs).
                 target = lax.stop_gradient(
-                    amp_omega.sign * amp.sign
+                    amp_omega.sign * jnp.conj(amp.sign)
                     * (1.0 - beta * e_loc_omega)
                     * jnp.exp(amp_omega.log - amp.log)) / norm_var
                 r = _normalized_psi(amp.log)
-                return jnp.mean((r - target) ** 2)
+                return _residual_l2(r - target)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = common.pmean(grads, axis_name)
@@ -325,12 +343,13 @@ class SupervisedWavefunctionOptimizer(_SWOBase):
 
             def loss_fn(p):
                 amp = wf.apply(p, configs)
-                # ψ_t√2ⁿ / stop(ψ), computed in log space.
+                # ψ_t√2ⁿ / stop(ψ), computed in log space (conj(sign) is
+                # the 1/ψ factor; no-op for real ±1 signs).
                 target = lax.stop_gradient(
-                    amp_t.sign * amp.sign
+                    amp_t.sign * jnp.conj(amp.sign)
                     * jnp.exp(amp_t.log + half_log2n - amp.log))
                 r = _normalized_psi(amp.log)
-                return jnp.mean((r - target) ** 2)
+                return _residual_l2(r - target)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = common.pmean(grads, axis_name)
@@ -377,7 +396,8 @@ class LogOverlapSWO(SupervisedWavefunctionOptimizer):
             amp = wf.apply(params, configs)
             amp_t = self.target_wf.apply(target_params, configs)
             ratio = lax.stop_gradient(
-                amp_t.sign * amp.sign * jnp.exp(amp_t.log - amp.log))
+                amp_t.sign * jnp.conj(amp.sign)
+                * jnp.exp(amp_t.log - amp.log))
 
             grads, mean_ratio = _log_overlap_grads(wf, params, configs,
                                                    ratio, axis_name)
@@ -449,7 +469,7 @@ class DualSamplingSWO(_SWOBase):
             def loss_fn(p):
                 amp = wf.apply(p, configs)
                 psi = amp.sign * jnp.exp(amp.log)
-                return jnp.mean((psi - psi_target) ** 2)
+                return _residual_l2(psi - psi_target)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = common.pmean(grads, axis_name)
@@ -536,7 +556,7 @@ class BasisIterationSWO(_SWOBase):
             def loss_fn(p):
                 amp = wf.apply(p, configs)
                 psi = amp.sign * jnp.exp(amp.log)
-                return jnp.mean((psi - psi_target) ** 2)
+                return _residual_l2(psi - psi_target)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = common.pmean(grads, axis_name)
