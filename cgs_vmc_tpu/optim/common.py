@@ -159,9 +159,11 @@ def make_sweeps_fn(wf: Wavefunction, config):
     """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state.
 
     Dispatch order: fused Pallas kernel (pure RBM on TPU, O(hidden)
-    incremental updates) > multiple-try Metropolis (config.mtm_candidates
-    > 0: batched candidate evaluation) > generic single-try sampler."""
-    from cgs_vmc_tpu.sampler import fast_rbm, metropolis as mp, mtm
+    incremental updates) > Sherman–Morrison determinant sampler
+    (ProjectedBDG, O(h²) rank-1 updates instead of per-move slogdet) >
+    multiple-try Metropolis (config.mtm_candidates > 0: batched candidate
+    evaluation) > generic single-try sampler."""
+    from cgs_vmc_tpu.sampler import fast_pbdg, fast_rbm, metropolis as mp, mtm
 
     # The fused kernel only pays off where Mosaic compiles it natively;
     # on CPU the TPU-interpreter fallback is slower than the generic path.
@@ -171,6 +173,12 @@ def make_sweeps_fn(wf: Wavefunction, config):
         def fast(params, state, num_sweeps):
             return fast_rbm.run_sweeps(wf, params, state, num_sweeps)
         return fast
+
+    # Pure-XLA incremental path: beneficial on every backend.
+    if getattr(config, 'use_fast_sampler', True) and fast_pbdg.supports(wf):
+        def fast_det(params, state, num_sweeps):
+            return fast_pbdg.run_sweeps(wf, params, state, num_sweeps)
+        return fast_det
 
     k = getattr(config, 'mtm_candidates', 0)
     if k and k > 1:
