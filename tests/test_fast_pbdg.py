@@ -121,3 +121,32 @@ def test_dispatch_selects_fast_pbdg():
     sweeps_off = common.make_sweeps_fn(wf, cfg_off)
     out2 = sweeps_off(params, state, 1)
     assert out2.configs.shape == state.configs.shape
+
+
+@pytest.mark.slow
+def test_pbdg_fast_path_trains_end_to_end():
+    """EnergyGradient with the ProjectedBDG ansatz runs its epochs through
+    the Sherman-Morrison sweeps (make_sweeps_fn dispatch) and descends."""
+    import numpy as np
+    from cgs_vmc_tpu import lattice
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.optim.energy_gradient import EnergyGradientOptimizer
+
+    config = Config(num_sites=N, wavefunction_type='pbdg',
+                    batch_size=128, num_batches_per_epoch=4,
+                    num_equilibration_sweeps=4, num_monte_carlo_sweeps=1,
+                    optimizer='adam', learning_rates=[0.02],
+                    learning_rate_stops=[], heisenberg_jx=-1.0, seed=13)
+    wf = ProjectedBDG(N)
+    ham = HeisenbergHamiltonian(lattice.chain_bonds(N), -1.0, 1.0)
+    opt = EnergyGradientOptimizer(wf, ham, config)
+    state = opt.init_state(jax.random.key(13))
+    epoch = jax.jit(opt.epoch)
+    energies = []
+    for _ in range(30):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    assert np.isfinite(energies).all()
+    assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.3
+    assert 0.01 < float(metrics['acceptance_rate']) <= 1.0
