@@ -134,6 +134,11 @@ class Config:
     # Use the fused Pallas sweep kernel when the ansatz supports it
     # (pure RBM): O(hidden) incremental updates instead of full forwards.
     use_fast_sampler: bool = True
+    # MPS only: environment-cached ordered adjacent-exchange sweeps,
+    # O(N·D²) per sweep instead of O(N²·D²) (sampler/fast_mps.py).
+    # Opt-in: the local move set mixes differently from the global
+    # down×up exchange of the reference schedule.
+    mps_incremental_sweeps: bool = False
     # Multiple-try Metropolis: propose this many candidates per step and
     # evaluate them in one batched forward pass (0 = single-try).  Pays off
     # for expensive ansatzes where per-step latency dominates.

@@ -180,6 +180,16 @@ def make_sweeps_fn(wf: Wavefunction, config):
             return fast_pbdg.run_sweeps(wf, params, state, num_sweeps)
         return fast_det
 
+    # Opt-in: ordered adjacent-exchange environment-cached MPS sweeps
+    # (different mixing profile than the global down×up move, see
+    # sampler/fast_mps.py docstring).
+    if getattr(config, 'mps_incremental_sweeps', False):
+        from cgs_vmc_tpu.sampler import fast_mps
+        if fast_mps.supports(wf):
+            def fast_mps_sweeps(params, state, num_sweeps):
+                return fast_mps.run_sweeps(wf, params, state, num_sweeps)
+            return fast_mps_sweeps
+
     k = getattr(config, 'mtm_candidates', 0)
     if k and k > 1:
         def multi(params, state, num_sweeps):
