@@ -76,80 +76,112 @@ def _inclusive_cumsum_rows(x, n_rows):
 
 def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
                   w_ref, a_ref, kd_ref, ku_ref, log_u_ref,
-                  out_configs, out_theta, out_logamp, out_accepted):
+                  out_configs, out_theta, out_logamp, out_accepted,
+                  groups: int = 1):
     """One grid step = one chain block; a chunk of steps looped inside.
 
     Layout: configs are [n_sites, chains] (sites on sublanes, chains on
     lanes — 36 sites use lanes 3.2× better than the transpose).  theta,
     logcosh(theta) and logψ are carried as loop values; the config ref is
     updated in place.
+
+    `groups` > 1 splits the chains into independent column groups whose
+    per-step updates are emitted side by side in the loop body: the
+    groups share no data, so the scheduler can overlap their serial
+    dependency chains (the per-step latency, not op count, bounds this
+    kernel — ROADMAP 'Pallas kernel latency').
     """
     n_steps = log_u_ref.shape[0]
     n_sites = configs_ref.shape[0]
     n_chains = theta_ref.shape[0]
+    width = n_chains // groups
 
     out_configs[:] = configs_ref[:]
     # Mosaic supports integer iota only; convert for the f32 rank compare.
     row = lax.broadcasted_iota(
-        jnp.int32, (n_sites, n_chains), 0).astype(jnp.float32)
+        jnp.int32, (n_sites, width), 0).astype(jnp.float32)
 
-    def step(t, carry):
-        # lc = logcosh(theta) is carried across steps: only the PROPOSED
-        # theta needs a fresh transcendental evaluation each step.
-        theta, lc, log_amp, accepted = carry
-        cfg = out_configs[:]                      # [n_sites, chains]
-        k_down = kd_ref[pl.ds(t, 1), :]           # [1, chains] f32 ranks
-        k_up = ku_ref[pl.ds(t, 1), :]
+    def group_step(t, g, carry):
+        # lc = logcosh(theta) and the inclusive down-count are carried
+        # across steps: only the PROPOSED theta needs a fresh
+        # transcendental evaluation, and an accepted exchange changes the
+        # cumulative count only at sites ≥ the two flipped positions —
+        # a two-compare update instead of a log₂(n)-roll rescan.
+        theta, lc, log_amp, accepted, count = carry
+        cols = slice(g * width, (g + 1) * width)
+        cfg = out_configs[:, cols]                # [n_sites, width]
+        k_down = kd_ref[pl.ds(t, 1), cols]        # [1, width] f32 ranks
+        k_up = ku_ref[pl.ds(t, 1), cols]
 
         down = 0.5 * (1.0 - cfg)                  # 1.0 on −1 spins
-        count = _inclusive_cumsum_rows(down, n_sites)
         rank_down = count - down                  # exclusive count of downs
         rank_up = row - count                     # exclusive count of ups
         onehot_down = down * (rank_down == k_down).astype(jnp.float32)
         onehot_up = (1.0 - down) * (rank_up == k_up).astype(jnp.float32)
-        delta = 2.0 * (onehot_down - onehot_up)   # [n_sites, chains]
+        delta = 2.0 * (onehot_down - onehot_up)   # [n_sites, width]
 
         # Δθ for every chain in one MXU contraction over the site axis.
         d_theta = lax.dot_general(
             delta, w_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # [chains, hidden]
+            preferred_element_type=jnp.float32)   # [width, hidden]
         theta_new = theta + d_theta
         lc_new = _log_cosh(theta_new)
 
-        d_onsite = jnp.sum(delta * a_ref[:], axis=0)          # [chains]
+        d_onsite = jnp.sum(delta * a_ref[:], axis=0)          # [width]
         d_log = d_onsite + jnp.sum(lc_new - lc, axis=-1)
 
-        log_u = log_u_ref[pl.ds(t, 1), :][0]      # [chains]
+        log_u = log_u_ref[pl.ds(t, 1), cols][0]   # [width]
         # f32 mask arithmetic: Mosaic cannot reshape/broadcast i1 vectors
         # along the minor dim, and select == lerp-by-mask here anyway.
         # Moves are always active (one −1 and one +1 site always selected
         # in the Sz-conserving sector), so acceptance is the pure
         # |ψ'/ψ|² > u rule (cgs_vmc/graph_builders.py:75-79).
-        acc = (2.0 * d_log > log_u).astype(jnp.float32)       # [chains]
+        acc = (2.0 * d_log > log_u).astype(jnp.float32)       # [width]
 
-        out_configs[:] = cfg + acc[None, :] * delta
+        out_configs[:, cols] = cfg + acc[None, :] * delta
+        # Down removed at the onehot_down site, added at the onehot_up
+        # site: inclusive counts shift by ∓1 for all rows ≥ each position.
+        pos_removed = jnp.sum(row * onehot_down, axis=0)      # [width]
+        pos_added = jnp.sum(row * onehot_up, axis=0)
+        acc_row = acc[None, :]
+        count = count + acc_row * (
+            (row >= pos_added[None, :]).astype(jnp.float32)
+            - (row >= pos_removed[None, :]).astype(jnp.float32))
         acc_col = acc[:, None]
         theta = theta + acc_col * d_theta
         lc = lc + acc_col * (lc_new - lc)
         log_amp = log_amp + acc * d_log
         accepted = accepted + acc
-        return theta, lc, log_amp, accepted
+        return theta, lc, log_amp, accepted, count
 
-    theta0 = theta_ref[:]
-    init = (theta0, _log_cosh(theta0), logamp_ref[:],
-            jnp.zeros((n_chains,), jnp.float32))
-    theta, _, log_amp, accepted = lax.fori_loop(0, n_steps, step, init)
-    out_theta[:] = theta
-    out_logamp[:] = log_amp
-    out_accepted[:] = accepted
+    def step(t, carries):
+        return tuple(group_step(t, g, carry)
+                     for g, carry in enumerate(carries))
+
+    def group_init(g):
+        cols = slice(g * width, (g + 1) * width)
+        theta0 = theta_ref[cols, :]
+        down0 = 0.5 * (1.0 - configs_ref[:, cols])
+        return (theta0, _log_cosh(theta0), logamp_ref[cols],
+                jnp.zeros((width,), jnp.float32),
+                _inclusive_cumsum_rows(down0, n_sites))
+
+    init = tuple(group_init(g) for g in range(groups))
+    finals = lax.fori_loop(0, n_steps, step, init)
+    for g, (theta, _, log_amp, accepted, _) in enumerate(finals):
+        cols = slice(g * width, (g + 1) * width)
+        out_theta[cols, :] = theta
+        out_logamp[cols] = log_amp
+        out_accepted[cols] = accepted
 
 
-@functools.partial(jax.jit, static_argnames=('block_chains', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('block_chains', 'interpret', 'groups'))
 def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
                configs: jax.Array, picks: jax.Array, key: jax.Array,
-               block_chains: int = 2048, interpret: bool = False
-               ) -> RbmSweepResult:
+               block_chains: int = 2048, interpret: bool = False,
+               groups: int = 1) -> RbmSweepResult:
     """Runs len(picks) fused per-chain exchange steps on all chains.
 
     Args:
@@ -163,6 +195,8 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
       key: PRNG key for per-chain acceptance uniforms.
       block_chains: chains per kernel instance (VMEM budget knob).
       interpret: run under the TPU-semantics interpreter (CPU tests).
+      groups: independent chain groups interleaved inside the loop body
+        (ILP knob; identical trajectories for any value).
 
     Returns RbmSweepResult with updated state and per-chain accept counts.
     """
@@ -171,12 +205,14 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     if n_chains % block_chains:
         raise ValueError(f'chains {n_chains} % block {block_chains} != 0')
     n_steps = picks.shape[0]
-    # One kernel invocation handles one sweep's worth of steps; longer runs
-    # scan over invocations (keeps Mosaic compile time flat and the
-    # randomness blocks within VMEM budget).  Pad to a whole number of
-    # chunks with rejected no-op steps (log_u = +inf never accepts and the
-    # padded rank picks leave the state untouched on rejection).
-    chunk = min(n_steps, max(n_sites, 8))
+    # One kernel invocation handles several sweeps' worth of steps; longer
+    # runs scan over invocations (keeps Mosaic compile time flat and the
+    # randomness blocks within VMEM budget — 8 sweeps x 3 streamed f32
+    # arrays ≈ 4.5 MB at 36 sites x 2048 chains, amortizing the per-launch
+    # overhead over ~300 steps).  Pad to a whole number of chunks with
+    # rejected no-op steps (log_u = +inf never accepts and the padded rank
+    # picks leave the state untouched on rejection).
+    chunk = min(n_steps, 8 * max(n_sites, 8))
     n_chunks = -(-n_steps // chunk)
     pad = n_chunks * chunk - n_steps
     log_u = jnp.log(jax.random.uniform(key, (n_steps, n_chains),
@@ -236,8 +272,10 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
         jax.ShapeDtypeStruct((n_chains,), jnp.float32),
     ]
     interpret_mode = pltpu.InterpretParams() if interpret else False
+    if block_chains % groups:
+        raise ValueError(f'block_chains {block_chains} % groups {groups}')
     kernel_call = pl.pallas_call(
-        _sweep_kernel,
+        functools.partial(_sweep_kernel, groups=groups),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret_mode,

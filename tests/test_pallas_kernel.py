@@ -181,3 +181,22 @@ def test_kernel_samples_born_distribution():
     empirical = counts / counts.sum()
     tv = 0.5 * np.abs(empirical - exact).sum()
     assert tv < 0.08, f'TV distance {tv} too large'
+
+
+def test_groups_interleaving_is_trajectory_invariant():
+    """groups=2/4 (the ILP latency knob) must produce bitwise the same
+    trajectories as groups=1 — the groups share no data."""
+    w, b, a = _rbm_params(jax.random.key(50))
+    configs = basis.random_configurations(jax.random.key(51), N, CHAINS)
+    picks = kernels.sample_picks(jax.random.key(52), 48, N, CHAINS)
+    key = jax.random.key(53)
+    base = kernels.rbm_sweeps(w, b, a, configs, picks, key,
+                              block_chains=CHAINS, interpret=True)
+    for groups in (2, 4):
+        out = kernels.rbm_sweeps(w, b, a, configs, picks, key,
+                                 block_chains=CHAINS, interpret=True,
+                                 groups=groups)
+        np.testing.assert_array_equal(np.asarray(out.configs),
+                                      np.asarray(base.configs))
+        np.testing.assert_array_equal(np.asarray(out.num_accepted),
+                                      np.asarray(base.num_accepted))
