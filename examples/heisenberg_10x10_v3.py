@@ -1,6 +1,11 @@
 """10x10 continuation v3: warm-start the v2 artifact (round-1 end state,
 ~6-9e-4), anneal at M=8192 toward <5e-4.  Saves periodically so relay
-stalls cannot lose progress."""
+stalls cannot lose progress.
+
+Solver: `sample_cg` (sharded-Jacobian minSR, optim/sr.py) — at M=8192 the
+dense [M,M] assembly alone is ~5 PFLOP/epoch (~a minute of MXU time);
+the CG path solves the SAME sample-space system in k·O(M·P) work and
+keeps the epoch at seconds."""
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import time, functools, numpy as np, jax, jax.numpy as jnp
@@ -22,8 +27,9 @@ cfg = Config(num_sites=100, size_x=10, size_y=10,
              learning_rates=[0.002, 0.001, 0.0004, 0.00015],
              learning_rate_stops=[200, 400, 650],
              optimizer='gradient', heisenberg_jx=-1.0,
-             sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
+             sr_diag_shift=1e-2, sr_solver='sample_cg', sr_delta_clip=1.0,
              sr_reject_residual=0.5, sr_jacobian_chunk=1024,
+             sr_cg_tol=1e-5, sr_cg_maxiter=200,
              symmetrize=True, seed=29)
 bonds = lattice.square_lattice_bonds(10, 10)
 wf = build_wavefunction(cfg)
@@ -49,8 +55,8 @@ def local_energy(p, configs):
 @jax.jit
 def sr_update(p, o, epoch, all_configs, e_loc):
     e_mean = jnp.mean(e_loc)
-    delta, grad_e, res = opt._dense_solve(all_configs, p, e_loc, e_mean,
-                                          None)
+    delta, grad_e, res = opt._sample_cg_solve(all_configs, p, e_loc,
+                                              e_mean, None)
     finite = jnp.all(jnp.asarray(
         [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(delta)]))
     delta = jax.tree.map(lambda d, g: jnp.where(finite, d, g), delta, grad_e)
