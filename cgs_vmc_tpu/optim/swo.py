@@ -541,11 +541,14 @@ class BasisIterationSWO(_SWOBase):
         batch = cfg.batch_size
 
         data_key, perm_key = jax.random.split(state.extra['data_key'])
-        # Sample with replacement at the batch level: enough random batches
-        # to fill the epoch regardless of basis size (static shapes).
-        idx = jax.random.randint(
-            perm_key, (cfg.num_batches_per_epoch, batch),
-            0, self.basis.shape[0])
+        # Shuffled full-basis iteration (reference training.py:242-251):
+        # a fresh permutation per epoch, consumed in order; when the epoch
+        # needs more rows than the basis holds, the permutation is tiled
+        # (cycling without replacement inside each pass, static shapes).
+        n_rows = cfg.num_batches_per_epoch * batch
+        perm = jax.random.permutation(perm_key, self.basis.shape[0])
+        idx = perm[jnp.arange(n_rows) % self.basis.shape[0]]
+        idx = idx.reshape(cfg.num_batches_per_epoch, batch)
 
         def batch_step(carry, batch_idx):
             params, opt_state = carry

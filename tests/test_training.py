@@ -104,3 +104,31 @@ def test_supervised_distillation_reaches_high_overlap(opt_name):
                           basis_array=basis.enumerate_sz_basis(N))
     fidelity = overlap_with_vector(psi, np.abs(V0))
     assert fidelity > 0.97, f'{opt_name}: overlap {fidelity}'
+
+
+@pytest.mark.slow
+def test_basis_iteration_covers_full_basis_without_replacement():
+    """BasisIterSWO iterates a SHUFFLED permutation of the basis (reference
+    training.py:242-251), not with-replacement batches: within one pass
+    every basis row appears exactly once."""
+    import jax.numpy as jnp
+    from cgs_vmc_tpu.optim.swo import BasisIterationSWO
+
+    dim = basis.enumerate_sz_basis(N).shape[0]  # 70 for N=8
+    config = _config(batch_size=35, num_batches_per_epoch=2,
+                     wavefunction_optimizer_type='BasisIterSWO')
+    target_wf = FullVector.for_sector(N, np.abs(V0).astype(np.float32))
+    target_params = target_wf.init(jax.random.key(0))
+    wf = build_wavefunction(config)
+    opt = BasisIterationSWO(wf, target_wf, config)
+    state = opt.init_state(jax.random.key(3), target_params)
+
+    # Reproduce the epoch's index stream from its data_key.
+    data_key, perm_key = jax.random.split(state.extra['data_key'])
+    perm = jax.random.permutation(perm_key, dim)
+    idx = np.asarray(perm[jnp.arange(70) % dim])
+    assert sorted(idx.tolist()) == list(range(dim))  # one full pass
+
+    # And the epoch still trains.
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert np.isfinite(float(metrics['loss']))
