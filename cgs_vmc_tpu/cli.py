@@ -196,7 +196,9 @@ def main(argv=None) -> int:
                 from cgs_vmc_tpu import lattice as lattice_lib
                 kind, spec = observable.split(':', 1)
                 parts = [int(v) for v in spec.split(';')]
-                is_2d = (config.size_y > 1
+                # Must match lattice.displacement_pairs' own 2-D condition
+                # (a 1xN geometry is a chain there).
+                is_2d = (config.size_x > 1 and config.size_y > 1
                          and config.size_x * config.size_y
                          == config.num_sites)
                 if is_2d and len(parts) != 2:
@@ -230,22 +232,26 @@ def main(argv=None) -> int:
                     # U = prod_B sigma^z, which flips Sx,Sy on sublattice B
                     # — for pairs straddling sublattices the physical
                     # transverse correlator is minus the measured one.
+                    # Applied PER PAIR as ±1 couplings inside the fused
+                    # exchange kernel, so it is exact even when the pair
+                    # set mixes same- and cross-sublattice displacements
+                    # (odd-length periodic directions).
                     if config.heisenberg_jx < 0:
+                        from cgs_vmc_tpu.evaluate import evaluate_operator
                         sub = lattice_lib.marshall_sublattice(
                             config.num_sites, config.size_x, config.size_y)
                         gauge = sub[pairs[:, 0]] * sub[pairs[:, 1]]
-                        if (gauge == gauge[0]).all():
-                            from cgs_vmc_tpu.evaluate import evaluate_operator
-                            result = evaluate_operator(
-                                wf, state.params, operator, config)
-                            physical = float(gauge[0]) * result.mean
-                            print(f'{label}: {result.mean} +/- '
-                                  f'{result.error}  [Marshall gauge]')
-                            print(f'{label} physical: {physical} +/- '
-                                  f'{result.error}')
-                            print('Acceptance rate: '
-                                  f'{result.acceptance_rate:.4f}')
-                            return 0
+                        physical_op = TransverseCorrelation(
+                            pairs, sample_chunk=config.energy_chunk_samples,
+                            pair_signs=gauge)
+                        result = evaluate_operator(
+                            wf, state.params, physical_op, config)
+                        print(f'{label} physical (Marshall-gauge '
+                              f'corrected): {result.mean} +/- '
+                              f'{result.error}')
+                        print('Acceptance rate: '
+                              f'{result.acceptance_rate:.4f}')
+                        return 0
             elif observable.startswith('sq:'):
                 import numpy as np
                 from cgs_vmc_tpu.ops.observables import (

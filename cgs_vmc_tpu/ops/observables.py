@@ -83,13 +83,29 @@ class TransverseCorrelation(Operator):
     the oracle the tests use."""
 
     def __init__(self, pairs: Sequence[Tuple[int, int]],
-                 sample_chunk: int = 0):
+                 sample_chunk: int = 0,
+                 pair_signs: Optional[np.ndarray] = None):
+        """pair_signs: optional ±1 weight per pair — e.g. the Marshall
+        sublattice product ε_i·ε_j, which converts the correlator measured
+        in a gauge-rotated state (trained with jx < 0) into the PHYSICAL
+        transverse correlator per pair (the gauge U = Π_B σᶻ flips Sx, Sy
+        on sublattice B).  Implemented as per-bond couplings of the fused
+        exchange kernel, so it is exact even when the signs are not
+        uniform across pairs (mixed same-/cross-sublattice displacements)."""
         from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
         pairs = np.asarray(pairs, dtype=np.int32)
+        couplings = None
+        if pair_signs is not None:
+            couplings = np.asarray(pair_signs, np.float64).reshape(-1)
+            if couplings.shape[0] != pairs.shape[0]:
+                raise ValueError(
+                    f'pair_signs must have one entry per pair: '
+                    f'{couplings.shape[0]} vs {pairs.shape[0]}')
         # Reuse the batched exchange kernel: jx=1 off-diagonal only, and
         # average instead of summing over "bonds".
         self._exchange = HeisenbergHamiltonian(
-            pairs, j_x=1.0, j_z=0.0, sample_chunk=sample_chunk)
+            pairs, j_x=1.0, j_z=0.0, sample_chunk=sample_chunk,
+            couplings=couplings)
         self.n_pairs = pairs.shape[0]
 
     def local_value(self, wf: Wavefunction, params: Params,

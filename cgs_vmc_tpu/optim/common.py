@@ -158,12 +158,29 @@ def grad_global_norm(grads: Params) -> jax.Array:
 def make_sweeps_fn(wf: Wavefunction, config):
     """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state.
 
-    Dispatch order: fused Pallas kernel (pure RBM on TPU, O(hidden)
-    incremental updates) > Sherman–Morrison determinant sampler
-    (ProjectedBDG, O(h²) rank-1 updates instead of per-move slogdet) >
-    multiple-try Metropolis (config.mtm_candidates > 0: batched candidate
-    evaluation) > generic single-try sampler."""
+    Dispatch order: EXPLICIT sampler choices first — multiple-try
+    Metropolis (config.mtm_candidates > 0) and the opt-in MPS
+    environment-cached sweeps — then the AUTOMATIC incremental fast paths
+    (fused Pallas kernel for pure RBM on TPU; Sherman–Morrison for
+    ProjectedBDG), then the generic single-try sampler.  An explicit knob
+    always wins over an automatic dispatch."""
     from cgs_vmc_tpu.sampler import fast_pbdg, fast_rbm, metropolis as mp, mtm
+
+    k = getattr(config, 'mtm_candidates', 0)
+    if k and k > 1:
+        def multi(params, state, num_sweeps):
+            return mtm.run_sweeps(wf, params, state, num_sweeps, k=k)
+        return multi
+
+    # Opt-in: ordered adjacent-exchange environment-cached MPS sweeps
+    # (different mixing profile than the global down×up move, see
+    # sampler/fast_mps.py docstring).
+    if getattr(config, 'mps_incremental_sweeps', False):
+        from cgs_vmc_tpu.sampler import fast_mps
+        if fast_mps.supports(wf):
+            def fast_mps_sweeps(params, state, num_sweeps):
+                return fast_mps.run_sweeps(wf, params, state, num_sweeps)
+            return fast_mps_sweeps
 
     # The fused kernel only pays off where Mosaic compiles it natively;
     # on CPU the TPU-interpreter fallback is slower than the generic path.
@@ -179,22 +196,6 @@ def make_sweeps_fn(wf: Wavefunction, config):
         def fast_det(params, state, num_sweeps):
             return fast_pbdg.run_sweeps(wf, params, state, num_sweeps)
         return fast_det
-
-    # Opt-in: ordered adjacent-exchange environment-cached MPS sweeps
-    # (different mixing profile than the global down×up move, see
-    # sampler/fast_mps.py docstring).
-    if getattr(config, 'mps_incremental_sweeps', False):
-        from cgs_vmc_tpu.sampler import fast_mps
-        if fast_mps.supports(wf):
-            def fast_mps_sweeps(params, state, num_sweeps):
-                return fast_mps.run_sweeps(wf, params, state, num_sweeps)
-            return fast_mps_sweeps
-
-    k = getattr(config, 'mtm_candidates', 0)
-    if k and k > 1:
-        def multi(params, state, num_sweeps):
-            return mtm.run_sweeps(wf, params, state, num_sweeps, k=k)
-        return multi
 
     def generic(params, state, num_sweeps):
         return mp.run_sweeps(wf, params, state, num_sweeps)

@@ -167,9 +167,9 @@ class LogOverlapImaginaryTimeSWO(_SWOBase):
             amp_omega = wf.apply(omega, configs)
             e_loc_omega = ham.local_value(wf, omega, configs, amp_omega)
             # ratio = (ψ_ω − β H ψ_ω) / ψ, all stop-grad (supervisor side).
-            # With complex logs exp(Δlog) carries the phase difference and
-            # 1/ψ contributes conj-free division: ψ_ω/ψ = s_ω s e^{l_ω−l}
-            # exactly as in the real case (|s|=1, s real here).
+            # exp(Δlog) carries any phase difference; 1/ψ contributes
+            # conj(sign)/exp(log) since |s| = 1 (conj is a no-op for the
+            # real ±1 signs of real-log ansatzes).
             ratio = lax.stop_gradient(
                 amp_omega.sign * jnp.conj(amp.sign)
                 * (1.0 - beta * e_loc_omega)

@@ -134,10 +134,16 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         log_u = log_u_ref[pl.ds(t, 1), cols][0]   # [width]
         # f32 mask arithmetic: Mosaic cannot reshape/broadcast i1 vectors
         # along the minor dim, and select == lerp-by-mask here anyway.
-        # Moves are always active (one −1 and one +1 site always selected
-        # in the Sz-conserving sector), so acceptance is the pure
-        # |ψ'/ψ|² > u rule (cgs_vmc/graph_builders.py:75-79).
-        acc = (2.0 * d_log > log_u).astype(jnp.float32)       # [width]
+        # Acceptance: |ψ'/ψ|² > u (cgs_vmc/graph_builders.py:75-79).  In
+        # the half-filled sector every rank pick selects one −1 and one
+        # +1 site (always-active moves); the `active` guard makes a pick
+        # beyond the actual spin counts a NO-OP instead of a silent
+        # single-spin flip if a caller ever feeds configs from another
+        # Sz sector.
+        has_down = jnp.sum(onehot_down, axis=0)               # [width] 0/1
+        has_up = jnp.sum(onehot_up, axis=0)
+        active = has_down * has_up
+        acc = active * (2.0 * d_log > log_u).astype(jnp.float32)
 
         out_configs[:, cols] = cfg + acc[None, :] * delta
         # Down removed at the onehot_down site, added at the onehot_up
@@ -331,7 +337,8 @@ def rbm_sweeps_reference(w, b, a, configs, picks, key) -> RbmSweepResult:
                        - onehot_up.astype(jnp.float32))
         proposed = configs + delta
         d_log = log_psi(proposed) - log_psi(configs)
-        accept = 2.0 * d_log > log_u_t
+        active = onehot_down.any(axis=1) & onehot_up.any(axis=1)
+        accept = active & (2.0 * d_log > log_u_t)
         configs = jnp.where(accept[:, None], proposed, configs)
         accepted = accepted + accept.astype(jnp.float32)
         return (configs, accepted), None

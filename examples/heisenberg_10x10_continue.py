@@ -69,7 +69,6 @@ def sr_update(p, o, epoch, all_configs, e_loc):
 E_REF = -0.671549 * 100
 t0 = time.time()
 print('compiling...', flush=True)
-best = 0.0
 for i in range(800):
     smp = sweeps(params, smp, cfg.num_equilibration_sweeps)
     batches = []

@@ -2,10 +2,10 @@
 ~6-9e-4), anneal at M=8192 toward <5e-4.  Saves periodically so relay
 stalls cannot lose progress.
 
-Solver: `sample_cg` (sharded-Jacobian minSR, optim/sr.py) — at M=8192 the
-dense [M,M] assembly alone is ~5 PFLOP/epoch (~a minute of MXU time);
-the CG path solves the SAME sample-space system in k·O(M·P) work and
-keeps the epoch at seconds."""
+Solver: `sample_cg` (sharded-Jacobian minSR, optim/sr.py) — solves the
+SAME sample-space system as the dense path in k·O(M·P) work, exercising
+the at-scale solver on a real anneal (epoch cost here is dominated by
+sampling + the chunked local-energy fan-out, not the solve)."""
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import time, functools, numpy as np, jax, jax.numpy as jnp
@@ -74,7 +74,6 @@ def sr_update(p, o, epoch, all_configs, e_loc):
 E_REF = -0.671549 * 100
 t0 = time.time()
 print('compiling...', flush=True)
-best = 0.0
 for i in range(900):
     smp = sweeps(params, smp, cfg.num_equilibration_sweeps)
     batches = []

@@ -71,7 +71,6 @@ def sr_update(p, o, epoch, all_configs, e_loc):
 E_REF = -0.678872 * 36
 t0 = time.time()
 print('compiling...', flush=True)
-best = 0.0
 for i in range(1000):
     smp = sweeps(params, smp, cfg.num_equilibration_sweeps)
     batches = []

@@ -144,3 +144,30 @@ def test_staggered_magnetization():
     result = evaluate_operator(wf, params, obs, config,
                                key=jax.random.key(5))
     assert abs(result.mean - exact) < 5 * max(result.error, 1e-4)
+
+
+def test_transverse_pair_signs_mixed_gauge():
+    """pair_signs applies a ±1 weight PER PAIR inside the fused exchange
+    kernel: with mixed signs the value equals the signed average of the
+    single-pair correlators (the Marshall-gauge correction for pair sets
+    mixing same- and cross-sublattice displacements)."""
+    e0, v0 = ed.ground_state(N, BONDS)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+    weights = v0 ** 2 / np.sum(v0 ** 2)
+
+    pairs = [(i, (i + 1) % N) for i in range(N)]
+    signs = np.asarray([1 if i % 2 == 0 else -1 for i in range(N)],
+                       np.float64)
+    weighted = TransverseCorrelation(pairs, pair_signs=signs)
+    got = float(np.sum(weights * np.asarray(
+        weighted.local_value(wf, params, states))))
+
+    singles = []
+    for p in pairs:
+        op = TransverseCorrelation([p])
+        singles.append(float(np.sum(weights * np.asarray(
+            op.local_value(wf, params, states)))))
+    expected = float(np.mean(signs * np.asarray(singles)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-7)

@@ -262,8 +262,7 @@ def test_cli_eval_2d_displacement_observables(tmp_path, capsys):
                    '--override', 'num_evaluation_samples=3'])
     assert rc == 0
     out = capsys.readouterr().out
-    assert '[Marshall gauge]' in out
-    assert 'physical:' in out
+    assert 'physical (Marshall-gauge corrected):' in out
 
 
 @pytest.mark.slow
