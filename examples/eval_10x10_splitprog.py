@@ -37,7 +37,7 @@ def local_energy(p, configs):
     return jax.lax.map(lambda c: ham.local_value(wf, p, c),
                        chunks).reshape(-1)
 
-smp = metropolis.init_sampler(jax.random.key(cfg.seed), wf, params, 36,
+smp = metropolis.init_sampler(jax.random.key(cfg.seed), wf, params, 100,
                               cfg.batch_size)
 smp = sweeps(params, smp, 50)  # equilibrate
 values = []
