@@ -107,7 +107,7 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         # transcendental evaluation, and an accepted exchange changes the
         # cumulative count only at sites ≥ the two flipped positions —
         # a two-compare update instead of a log₂(n)-roll rescan.
-        theta, lc, log_amp, accepted, count = carry
+        theta, lc, log_amp, accepted, count, total_down = carry
         cols = slice(g * width, (g + 1) * width)
         cfg = out_configs[:, cols]                # [n_sites, width]
         k_down = kd_ref[pl.ds(t, 1), cols]        # [1, width] f32 ranks
@@ -138,11 +138,13 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         # the half-filled sector every rank pick selects one −1 and one
         # +1 site (always-active moves); the `active` guard makes a pick
         # beyond the actual spin counts a NO-OP instead of a silent
-        # single-spin flip if a caller ever feeds configs from another
-        # Sz sector.
-        has_down = jnp.sum(onehot_down, axis=0)               # [width] 0/1
-        has_up = jnp.sum(onehot_up, axis=0)
-        active = has_down * has_up
+        # single-spin flip if a caller ever feeds configs from another Sz
+        # sector.  The total down count is INVARIANT under exchange moves
+        # (+1−1 on the cumulative total), so it is computed once at init
+        # and carried — the guard is two compares, not a reduction.
+        active = (jnp.logical_and(k_down[0] < total_down,
+                                  k_up[0] < n_sites - total_down)
+                  ).astype(jnp.float32)
         acc = active * (2.0 * d_log > log_u).astype(jnp.float32)
 
         out_configs[:, cols] = cfg + acc[None, :] * delta
@@ -159,7 +161,7 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         lc = lc + acc_col * (lc_new - lc)
         log_amp = log_amp + acc * d_log
         accepted = accepted + acc
-        return theta, lc, log_amp, accepted, count
+        return theta, lc, log_amp, accepted, count, total_down
 
     def step(t, carries):
         return tuple(group_step(t, g, carry)
@@ -169,13 +171,14 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         cols = slice(g * width, (g + 1) * width)
         theta0 = theta_ref[cols, :]
         down0 = 0.5 * (1.0 - configs_ref[:, cols])
+        count0 = _inclusive_cumsum_rows(down0, n_sites)
         return (theta0, _log_cosh(theta0), logamp_ref[cols],
                 jnp.zeros((width,), jnp.float32),
-                _inclusive_cumsum_rows(down0, n_sites))
+                count0, jnp.sum(down0, axis=0))
 
     init = tuple(group_init(g) for g in range(groups))
     finals = lax.fori_loop(0, n_steps, step, init)
-    for g, (theta, _, log_amp, accepted, _) in enumerate(finals):
+    for g, (theta, _, log_amp, accepted, _, _) in enumerate(finals):
         cols = slice(g * width, (g + 1) * width)
         out_theta[cols, :] = theta
         out_logamp[cols] = log_amp
