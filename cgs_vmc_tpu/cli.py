@@ -96,24 +96,36 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser('eval', help='Monte Carlo observable evaluation.')
     _add_common(p_eval)
     p_eval.add_argument(
+        '--params', default='',
+        help='Evaluate a standalone params-only .msgpack artifact (e.g. '
+             'artifacts/heisenberg_6x6_deep48.msgpack) instead of the run '
+             "directory's latest checkpoint. Requires --config (or "
+             '--checkpoint_dir with a config.json) describing the ansatz.')
+    p_eval.add_argument(
         '--observable', default='energy',
         help="What to measure: 'energy' (default), 'szsz:<dx>[;<dy>]' "
              "(longitudinal spin-spin correlation at lattice displacement "
-             "(dx,dy); dy required iff size_y > 1), "
+             "(dx,dy); dy required iff BOTH size_x > 1 and size_y > 1 — "
+             "a 1xN geometry is treated as a chain), "
              "'transverse:<dx>[;<dy>]' (SxSx+SySy, off-diagonal), "
              "'staggered_m2' (squared staggered magnetization), "
              "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
-             "momentum in units of pi; qy required iff size_y > 1), or "
+             "momentum in units of pi; qy required iff the lattice is "
+             "2-D), or "
              "'renyi2:<i>-<j>' (Renyi-2 entanglement entropy of sites "
              'i..j via the two-replica swap estimator).')
 
     p_dump = sub.add_parser(
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
     _add_common(p_dump)
+    p_dump.add_argument('--params', default='',
+                        help='Params-only .msgpack artifact to dump.')
 
     p_evolve = sub.add_parser(
         'evolve', help='t-VMC time evolution from a trained checkpoint.')
     _add_common(p_evolve)
+    p_evolve.add_argument('--params', default='',
+                          help='Params-only .msgpack artifact to evolve.')
     p_evolve.add_argument('--dt', type=float, default=0.005,
                           help='Integrator time step.')
     p_evolve.add_argument('--steps', type=int, default=100,
@@ -154,7 +166,6 @@ def main(argv=None) -> int:
         from cgs_vmc_tpu import models
         from cgs_vmc_tpu.train import build_hamiltonian
         from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
-        from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
 
         # Reload the run's persisted config (reference
         # run_energy_evaluation.py:45-47 reread hparams.pbtxt).
@@ -167,17 +178,26 @@ def main(argv=None) -> int:
             base=loaded)
         config = config.replace(checkpoint_dir=run_dir)
 
+        # Params-only restore: evaluation needs the WAVEFUNCTION, not the
+        # training run — so (like the reference evaluator, which restored
+        # trainables only, run_energy_evaluation.py:76-83) we never rebuild
+        # the optimizer's TrainState.  This makes eval/dump/evolve work on
+        # any run directory (ground-state, distilled/supervised) and on
+        # standalone --params artifacts.
         wf = models.build_wavefunction(config)
-        latest = ckpt_lib.latest_checkpoint(run_dir)
-        if latest is None:
-            print(f'No checkpoint found in {run_dir!r}', file=sys.stderr)
-            return 1
-        opt_name = config.wavefunction_optimizer_type
+        params_template = wf.init(jax.random.key(config.seed))
+        params_path = getattr(args, 'params', '')
+        if params_path:
+            params = ckpt_lib.restore_params_only(params_path,
+                                                  params_template)
+        else:
+            latest = ckpt_lib.latest_checkpoint(run_dir)
+            if latest is None:
+                print(f'No checkpoint found in {run_dir!r}', file=sys.stderr)
+                return 1
+            params = ckpt_lib.restore_params_from_checkpoint(
+                latest, params_template)
         hamiltonian = build_hamiltonian(config)
-        optimizer = GROUND_STATE_OPTIMIZERS[opt_name](
-            wf, hamiltonian, config)
-        state = optimizer.init_state(jax.random.key(config.seed))
-        state = ckpt_lib.restore_checkpoint(latest, state)
 
         if args.command == 'eval':
             from cgs_vmc_tpu.evaluate import evaluate_operator
@@ -187,7 +207,7 @@ def main(argv=None) -> int:
                 lo, hi = (int(v) for v in
                           observable.split(':', 1)[1].split('-'))
                 region = list(range(lo, hi + 1))
-                s2, err = evaluate_renyi2(wf, state.params, region, config)
+                s2, err = evaluate_renyi2(wf, params, region, config)
                 print(f'Renyi-2 S2(sites {lo}..{hi}): {s2} +/- {err}')
                 return 0
             if observable == 'energy':
@@ -245,7 +265,7 @@ def main(argv=None) -> int:
                             pairs, sample_chunk=config.energy_chunk_samples,
                             pair_signs=gauge)
                         result = evaluate_operator(
-                            wf, state.params, physical_op, config)
+                            wf, params, physical_op, config)
                         print(f'{label} physical (Marshall-gauge '
                               f'corrected): {result.mean} +/- '
                               f'{result.error}')
@@ -279,7 +299,7 @@ def main(argv=None) -> int:
             else:
                 print(f'Unknown observable {observable!r}', file=sys.stderr)
                 return 1
-            result = evaluate_operator(wf, state.params, operator, config)
+            result = evaluate_operator(wf, params, operator, config)
             print(f'{label}: {result.mean} +/- {result.error}')
             print(f'Acceptance rate: {result.acceptance_rate:.4f}')
         elif args.command == 'evolve':
@@ -287,11 +307,14 @@ def main(argv=None) -> int:
             from cgs_vmc_tpu.optim.tvmc import TimeEvolution
             evo = TimeEvolution(wf, hamiltonian, config, dt=args.dt,
                                 mode=args.mode, integrator=args.integrator)
-            sampler = state.sampler
+            from cgs_vmc_tpu.sampler import metropolis
+            sampler = metropolis.init_sampler(
+                jax.random.key(config.seed + 1), wf, params,
+                config.num_sites, config.batch_size)
             sampler = jax.jit(lambda s: evo.sweeps(
-                state.params, s, config.num_equilibration_sweeps))(sampler)
+                params, s, config.num_equilibration_sweeps))(sampler)
             params, sampler, records = evo.evolve(
-                state.params, sampler, args.steps)
+                params, sampler, args.steps)
             out_path = os.path.join(run_dir, 'evolution.jsonl')
             with open(out_path, 'w') as f:
                 for i, rec in enumerate(records):
@@ -301,7 +324,7 @@ def main(argv=None) -> int:
             print(f"Final energy: {records[-1]['energy']}")
         else:
             from cgs_vmc_tpu.evaluate import evaluate_vector
-            psi = evaluate_vector(wf, state.params, config)
+            psi = evaluate_vector(wf, params, config)
             print(f'Wrote {psi.shape[0]} amplitudes to '
                   f'{run_dir}/wavefunction_epoch_0.txt')
         return 0

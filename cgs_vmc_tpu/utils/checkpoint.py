@@ -144,6 +144,36 @@ def restore_params_only(path: str, template: Any) -> Any:
         return serialization.from_bytes(jax.device_get(template), f.read())
 
 
+def restore_params_from_checkpoint(path: str, params_template: Any) -> Any:
+    """Extracts ONLY the wavefunction parameters from a full-TrainState
+    checkpoint (either backend), without needing a structurally matching
+    TrainState template.
+
+    This is how the reference's evaluator could evaluate ANY run — ground-
+    state or supervised — regardless of which optimizer produced it: it
+    restored trainable variables only (cgs_vmc/run_energy_evaluation.py:
+    76-83).  Our full-state checkpoints additionally carry optimizer state
+    and sampler state whose structure depends on the optimizer; by reading
+    the raw state dict and deserializing just the 'params' subtree onto a
+    template built from the wavefunction alone, evaluation works on any
+    checkpoint (including distilled/supervised runs, whose TrainState a
+    ground-state init_state cannot reproduce).
+    """
+    if path.endswith('.orbax'):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as checkpointer:
+            raw = checkpointer.restore(os.path.abspath(path))
+    else:
+        with open(path, 'rb') as f:
+            raw = serialization.msgpack_restore(f.read())
+    if 'params' not in raw:
+        raise ValueError(
+            f'{path!r} does not contain a top-level params subtree '
+            f'(keys: {sorted(raw)})')
+    return serialization.from_state_dict(
+        jax.device_get(params_template), raw['params'])
+
+
 def save_config(directory: str, config) -> None:
     os.makedirs(directory, exist_ok=True)
     config.save(os.path.join(directory, 'config.json'))
