@@ -519,7 +519,7 @@ class BasisIterationSWO(_SWOBase):
     def init_state(self, key: jax.Array, target_params: Params,
                    n_local_chains: Optional[int] = None) -> TrainState:
         del n_local_chains  # no MCMC chains in this optimizer
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
         # A dummy 1-chain sampler keeps TrainState uniform across optimizers.
         sampler = metropolis.init_sampler(
@@ -529,7 +529,10 @@ class BasisIterationSWO(_SWOBase):
             opt_state=self.optax_opt.init(params),
             sampler=sampler,
             epoch=jnp.zeros((), jnp.int32),
-            extra={'target': target_params, 'data_key': jax.random.key(0)},
+            # Derived from the run key so config.seed changes the basis
+            # iteration order (round-2 review: a constant key made every
+            # run of every config iterate the same permutation sequence).
+            extra={'target': target_params, 'data_key': k3},
         )
 
     def epoch(self, state: TrainState, axis_name: Optional[str] = None

@@ -34,7 +34,7 @@ from jax import lax
 
 from cgs_vmc_tpu.models.base import Params
 from cgs_vmc_tpu.models.mps import MatrixProductState
-from cgs_vmc_tpu.sampler.metropolis import SamplerState
+from cgs_vmc_tpu.sampler.metropolis import advance_chain_keys, SamplerState
 
 
 def supports(wf) -> bool:
@@ -98,7 +98,7 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int
     def bond_update(carry, inputs):
         """Propose exchanging spins at (k, k+1); L is the prefix row
         vector BEFORE site k (for k = 0 the 'prefix' applies first[s])."""
-        configs, left, accepted = carry
+        configs, left, accepted, proposed = carry
         k, s_env, u = inputs                # S_{k+2} ([B, D]) and uniforms
         idx_k = _spin_idx(configs, k)
         idx_k1 = _spin_idx(configs, k + 1)
@@ -146,10 +146,16 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int
 
         # Extend the prefix through site k with its FINAL spin.
         left = _normalize(site_k_apply(left, _spin_idx(configs, k)))
-        return (configs, left, accepted + accf), None
+        # Count only ACTIVE proposals (antiparallel bonds): parallel-spin
+        # bonds are no-ops here, while the generic/fast_rbm samplers'
+        # down×up proposals are always active — counting the no-ops would
+        # make acceptance rates incomparable across samplers (round-2
+        # advisor finding).
+        return (configs, left, accepted + accf,
+                proposed + active.astype(configs.dtype)), None
 
     def sweep(carry, u_sweep):
-        configs, accepted = carry
+        configs, accepted, proposed = carry
         envs = _suffix_envs(params, configs)          # S_2..S_{N-1}
         # Bond k uses S_{k+2}: envs[k] for k = 0..N-3; the last bond
         # (k = N-2) contracts `last` elementwise, so feed ones.
@@ -158,21 +164,22 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int
             axis=0)
         ks = jnp.arange(n_sites - 1)
         left0 = jnp.ones((n_chains, first.shape[-1]), jnp.float32)
-        (configs, _, accepted), _ = lax.scan(
-            bond_update, (configs, left0, accepted),
+        (configs, _, accepted, proposed), _ = lax.scan(
+            bond_update, (configs, left0, accepted, proposed),
             (ks, s_env_per_bond, u_sweep))
-        return (configs, accepted), None
+        return (configs, accepted, proposed), None
 
-    (configs, accepted), _ = lax.scan(
-        sweep, (state.configs, jnp.zeros(n_chains, jnp.float32)), u_all)
+    (configs, accepted, proposed), _ = lax.scan(
+        sweep, (state.configs, jnp.zeros(n_chains, jnp.float32),
+                jnp.zeros(n_chains, jnp.float32)), u_all)
 
     amp = wf.apply(params, configs)
-    new_keys = state.keys.at[0].set(k_next)
+    new_keys = advance_chain_keys(state.keys, k_next)
     return SamplerState(
         configs=configs,
         log_amp=amp.log,
         sign=amp.sign,
         keys=new_keys,
         num_accepted=state.num_accepted + accepted,
-        num_proposed=state.num_proposed + float(num_sweeps * (n_sites - 1)),
+        num_proposed=state.num_proposed + proposed,
     )

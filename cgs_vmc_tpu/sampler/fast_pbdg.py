@@ -34,7 +34,7 @@ from jax import lax
 
 from cgs_vmc_tpu.models.base import Params
 from cgs_vmc_tpu.models.determinant import ProjectedBDG
-from cgs_vmc_tpu.sampler.metropolis import SamplerState
+from cgs_vmc_tpu.sampler.metropolis import advance_chain_keys, SamplerState
 
 
 def supports(wf) -> bool:
@@ -110,6 +110,12 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int
         ratio = ratio1 * ratio2                                # det M'/det M
         # |ψ'/ψ|² > u, guarded against a numerically singular intermediate
         # (treated as a rejection; the per-sweep cache rebuild re-syncs).
+        # Known measure-zero bias (round-2 advisor): a move whose
+        # intermediate row-replacement ratio underflows |ratio1| <= 1e-30
+        # is rejected even if the full rank-2 ratio would pass — an
+        # ordering artifact of the two sequential rank-1 updates.  At f32
+        # the guarded set has effectively zero Born weight (the sampler's
+        # Born-distribution test bounds any residual bias).
         acc = jnp.logical_and(ratio * ratio > u,
                               jnp.isfinite(ratio))
         acc = jnp.logical_and(acc, jnp.abs(ratio1) > 1e-30)
@@ -143,7 +149,7 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int
     # Exact signed amplitudes from the ansatz's own forward (also clears
     # incremental-update drift before any estimator consumes the cache).
     amp = wf.apply(params, configs)
-    new_keys = state.keys.at[0].set(k_next)
+    new_keys = advance_chain_keys(state.keys, k_next)
     proposed = float(num_sweeps * steps_per_sweep)
     return SamplerState(
         configs=configs,

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from cgs_vmc_tpu.models.base import Params
 from cgs_vmc_tpu.models.feedforward import RestrictedBoltzmannNetwork
 from cgs_vmc_tpu.sampler import kernels
-from cgs_vmc_tpu.sampler.metropolis import SamplerState
+from cgs_vmc_tpu.sampler.metropolis import advance_chain_keys, SamplerState
 
 
 def supports(wf) -> bool:
@@ -46,6 +46,20 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int,
     if num_sweeps <= 0:
         return state
     n_chains, n_sites = state.configs.shape
+    # kernels.sample_picks draws down-spin ranks in [0, n_sites//2): the
+    # proposal distribution is uniform ONLY in the half-filled Sz=0 sector
+    # (round-2 advisor: off-sector use would silently bias detailed
+    # balance — down spins at rank >= n_sites//2 would never be proposed).
+    if n_sites % 2:
+        raise ValueError(
+            f'fast_rbm sampler requires the half-filled Sz=0 sector; '
+            f'n_sites={n_sites} is odd')
+    if not isinstance(state.configs, jax.core.Tracer):
+        sz = jax.device_get(jnp.sum(state.configs, axis=1))
+        if (sz != 0).any():
+            raise ValueError(
+                'fast_rbm sampler requires Sz=0 chains (half up, half '
+                f'down); got per-chain Sz {sorted(set(sz.tolist()))}')
     w, b, a = _unpack(params)
 
     key0 = state.keys[0]
@@ -59,7 +73,7 @@ def run_sweeps(wf, params: Params, state: SamplerState, num_sweeps: int,
     # kernel tracks configs@a + Σ logcosh, so add it back here so the
     # cache matches wf.apply exactly.
     onsite_bias = params['onsite']['b'][0]
-    new_keys = state.keys.at[0].set(k_next)
+    new_keys = advance_chain_keys(state.keys, k_next)
     return SamplerState(
         configs=out.configs,
         log_amp=out.log_amp + onsite_bias,

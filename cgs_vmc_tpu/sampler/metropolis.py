@@ -137,6 +137,24 @@ def refresh_amplitudes(wf: Wavefunction, params: Params,
     return state._replace(log_amp=amp.log, sign=amp.sign)
 
 
+def advance_chain_keys(keys: jax.Array, k0_next: jax.Array) -> jax.Array:
+    """Advance every per-chain key one split step, substituting the fast
+    path's continuation key for chain 0.
+
+    RNG contract for the incremental fast-path samplers (fast_rbm,
+    fast_pbdg, fast_mps): they draw ALL their streamed randomness from
+    splits of ``keys[0]`` — per-chain independence comes from the shape of
+    the drawn arrays, not from the per-chain key streams.  Advancing the
+    remaining chains' keys here guarantees that a later switch to the
+    generic per-chain sampler can never re-enter the streams those chains
+    held before the fast-path call (round-2 review: stale-stream aliasing
+    hazard), while chain 0 continues from the split the fast path already
+    reserved.
+    """
+    advanced = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+    return advanced.at[0].set(k0_next)
+
+
 def reset_stats(state: SamplerState) -> SamplerState:
     return state._replace(
         num_accepted=jnp.zeros_like(state.num_accepted),

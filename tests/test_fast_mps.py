@@ -71,7 +71,12 @@ def test_invariants_and_cache_refresh():
     amp = wf.apply(params, out.configs)
     np.testing.assert_allclose(np.asarray(out.log_amp),
                                np.asarray(amp.log), rtol=1e-6)
-    assert float(out.num_proposed.sum()) == CHAINS * 4 * (N - 1)
+    # Active proposals only (round-2 advisor): parallel-spin bonds are
+    # no-ops and are NOT counted, so acceptance rates are comparable
+    # with the always-active generic/fast_rbm samplers.
+    total_bonds = CHAINS * 4 * (N - 1)
+    assert 0 < float(out.num_proposed.sum()) < total_bonds
+    assert float(out.num_accepted.sum()) <= float(out.num_proposed.sum())
 
 
 @pytest.mark.slow
@@ -113,7 +118,7 @@ def test_dispatch_opt_in():
                  mps_incremental_sweeps=True)
     sweeps = common.make_sweeps_fn(wf, cfg)
     out = sweeps(params, state, 2)
-    assert float(out.num_proposed.sum()) == CHAINS * 2 * (N - 1)
+    assert 0 < float(out.num_proposed.sum()) <= CHAINS * 2 * (N - 1)
     # Default (opt-in off) uses the generic sampler: N proposals/sweep.
     sweeps_off = common.make_sweeps_fn(wf, cfg.replace(
         mps_incremental_sweeps=False))

@@ -81,3 +81,28 @@ def test_stats_accumulate():
     assert float(state.num_proposed[0]) == 5 * N
     rate = float(metropolis.acceptance_rate(state))
     assert 0.0 <= rate <= 1.0
+
+
+def test_fast_path_advances_all_chain_keys():
+    """The fast path draws its randomness from keys[0] but must advance
+    EVERY chain's key, so a later switch to the generic sampler never
+    re-enters pre-fast-path streams (round-2 review: aliasing hazard)."""
+    wf, params = _pure_rbm()
+    state = metropolis.init_sampler(jax.random.key(7), wf, params, N, 8)
+    before = np.asarray(jax.random.key_data(state.keys))
+    out = fast_rbm.run_sweeps(wf, params, state, 2, interpret=True)
+    after = np.asarray(jax.random.key_data(out.keys))
+    # every chain's key changed, and all keys remain distinct
+    assert (before != after).any(axis=-1).all()
+    assert len({tuple(k) for k in after.tolist()}) == after.shape[0]
+
+
+def test_fast_rbm_rejects_off_sector_state():
+    """Half-filling guard (round-2 advisor): off-sector chains would bias
+    detailed balance silently; must be a loud error instead."""
+    import jax.numpy as jnp
+    wf, params = _pure_rbm()
+    state = metropolis.init_sampler(jax.random.key(7), wf, params, N, 4)
+    bad = state._replace(configs=jnp.ones_like(state.configs))
+    with pytest.raises(ValueError, match='Sz=0'):
+        fast_rbm.run_sweeps(wf, params, bad, 1, interpret=True)

@@ -132,3 +132,26 @@ def test_basis_iteration_covers_full_basis_without_replacement():
     # And the epoch still trains.
     state, metrics = jax.jit(opt.epoch)(state)
     assert np.isfinite(float(metrics['loss']))
+
+
+@pytest.mark.slow
+def test_basis_iteration_seed_changes_order():
+    """config.seed must change the basis-iteration permutation sequence
+    (round-2 review: a constant data_key made every run identical)."""
+    import jax.numpy as jnp
+    from cgs_vmc_tpu.optim.swo import BasisIterationSWO
+
+    dim = basis.enumerate_sz_basis(N).shape[0]
+    config = _config(batch_size=35, num_batches_per_epoch=2,
+                     wavefunction_optimizer_type='BasisIterSWO')
+    target_wf = FullVector.for_sector(N, np.abs(V0).astype(np.float32))
+    target_params = target_wf.init(jax.random.key(0))
+    wf = build_wavefunction(config)
+    opt = BasisIterationSWO(wf, target_wf, config)
+
+    orders = []
+    for seed in (3, 4):
+        state = opt.init_state(jax.random.key(seed), target_params)
+        _, perm_key = jax.random.split(state.extra['data_key'])
+        orders.append(np.asarray(jax.random.permutation(perm_key, dim)))
+    assert not np.array_equal(orders[0], orders[1])
