@@ -96,7 +96,7 @@ def pmean(x, axis_name: Optional[str]):
 
 def log_derivative_pullback(wf: Wavefunction, params: Params,
                             configs: jax.Array):
-    """Returns (log_amps, pullback) where pullback(w) = d/dparams sum_b
+    """Returns (amp: LogAmp, pullback) where pullback(w) = d/dparams sum_b
     w_b * log|psi_b|.
 
     One linearization serves every estimator moment: <∇logψ> with w = 1/M,
@@ -104,23 +104,30 @@ def log_derivative_pullback(wf: Wavefunction, params: Params,
     functional version of the reference's ``tf.gradients(psi/stop_grad(psi))``
     trick (cgs_vmc/training.py:545-548).
     """
-    def log_fn(p):
-        return wf.apply(p, configs).log
+    from cgs_vmc_tpu.models.base import LogAmp
 
-    logs, vjp_fn = jax.vjp(log_fn, params)
+    def log_fn(p):
+        amp = wf.apply(p, configs)
+        return amp.log, amp.sign
+
+    # The full LogAmp (sign carried as non-differentiated aux) is returned
+    # so callers feed it straight into local_value instead of re-applying
+    # the wavefunction (round-2 review: the redundant forward relied on
+    # XLA CSE).
+    logs, vjp_fn, sign = jax.vjp(log_fn, params, has_aux=True)
     if jnp.iscomplexobj(logs):
         raise NotImplementedError(
             'This optimizer path supports real-log ansatzes only; '
             'complex-phase wavefunctions train with EnergyGradient or '
             "SR (sr_solver='dense'), which use log_amp_phase_pullback.")
-    return logs, lambda w: vjp_fn(w)[0]
+    return LogAmp(sign, logs), lambda w: vjp_fn(w)[0]
 
 
 def log_amp_phase_pullback(wf: Wavefunction, params: Params,
                            configs: jax.Array):
     """Complex-log twin of `log_derivative_pullback`.
 
-    Returns (logs_complex, pullback) where
+    Returns (amp: LogAmp, pullback) where
       pullback(w_re, w_im) = d/dparams sum_b [w_re_b·log|psi_b|
                                               + w_im_b·phase_b].
     Splitting the complex log into two real outputs keeps the vjp free of
@@ -128,12 +135,14 @@ def log_amp_phase_pullback(wf: Wavefunction, params: Params,
     as its real and imaginary parts directly (energy gradient: grad =
     2·Re[⟨O*·(E−Ē)⟩] = 2[⟨O_r·E_r⟩c + ⟨O_i·E_i⟩c]).
     """
-    def fn(p):
-        log = wf.apply(p, configs).log
-        return log.real, log.imag
+    from cgs_vmc_tpu.models.base import LogAmp
 
-    (log_re, log_im), vjp_fn = jax.vjp(fn, params)
-    return (log_re + 1j * log_im,
+    def fn(p):
+        amp = wf.apply(p, configs)
+        return (amp.log.real, amp.log.imag), amp.sign
+
+    (log_re, log_im), vjp_fn, sign = jax.vjp(fn, params, has_aux=True)
+    return (LogAmp(sign, log_re + 1j * log_im),
             lambda w_re, w_im: vjp_fn((w_re, w_im))[0])
 
 
@@ -158,45 +167,11 @@ def grad_global_norm(grads: Params) -> jax.Array:
 def make_sweeps_fn(wf: Wavefunction, config):
     """Returns sweeps(params, sampler_state, num_sweeps) -> sampler_state.
 
-    Dispatch order: EXPLICIT sampler choices first — multiple-try
-    Metropolis (config.mtm_candidates > 0) and the opt-in MPS
-    environment-cached sweeps — then the AUTOMATIC incremental fast paths
-    (fused Pallas kernel for pure RBM on TPU; Sherman–Morrison for
-    ProjectedBDG), then the generic single-try sampler.  An explicit knob
-    always wins over an automatic dispatch."""
-    from cgs_vmc_tpu.sampler import fast_pbdg, fast_rbm, metropolis as mp, mtm
-
-    k = getattr(config, 'mtm_candidates', 0)
-    if k and k > 1:
-        def multi(params, state, num_sweeps):
-            return mtm.run_sweeps(wf, params, state, num_sweeps, k=k)
-        return multi
-
-    # Opt-in: ordered adjacent-exchange environment-cached MPS sweeps
-    # (different mixing profile than the global down×up move, see
-    # sampler/fast_mps.py docstring).
-    if getattr(config, 'mps_incremental_sweeps', False):
-        from cgs_vmc_tpu.sampler import fast_mps
-        if fast_mps.supports(wf):
-            def fast_mps_sweeps(params, state, num_sweeps):
-                return fast_mps.run_sweeps(wf, params, state, num_sweeps)
-            return fast_mps_sweeps
-
-    # The fused kernel only pays off where Mosaic compiles it natively;
-    # on CPU the TPU-interpreter fallback is slower than the generic path.
-    on_tpu = jax.default_backend() == 'tpu'
-    if (getattr(config, 'use_fast_sampler', True) and on_tpu
-            and fast_rbm.supports(wf)):
-        def fast(params, state, num_sweeps):
-            return fast_rbm.run_sweeps(wf, params, state, num_sweeps)
-        return fast
-
-    # Pure-XLA incremental path: beneficial on every backend.
-    if getattr(config, 'use_fast_sampler', True) and fast_pbdg.supports(wf):
-        def fast_det(params, state, num_sweeps):
-            return fast_pbdg.run_sweeps(wf, params, state, num_sweeps)
-        return fast_det
-
-    def generic(params, state, num_sweeps):
-        return mp.run_sweeps(wf, params, state, num_sweeps)
-    return generic
+    Dispatch is delegated to the sampler fast-path registry
+    (sampler/registry.py): explicit sampler knobs (MTM, MPS env-cached
+    sweeps) outrank automatic incremental paths (Pallas RBM kernel,
+    Sherman–Morrison PBDG), which outrank the generic per-chain sampler.
+    Third-party ansatzes add entries with
+    ``sampler.registry.register_fast_path`` — no framework edits."""
+    from cgs_vmc_tpu.sampler import registry
+    return registry.resolve_sweeps_fn(wf, config)

@@ -79,10 +79,9 @@ class EnergyGradientOptimizer:
             configs = smp.configs
             local_batch = configs.shape[0]
 
-            logs, pullback = common.log_derivative_pullback(wf, params,
-                                                            configs)
-            amp = wf.apply(params, configs)  # recomputed under the same jit;
-            # XLA CSEs this with the vjp forward pass.
+            amp, pullback = common.log_derivative_pullback(wf, params,
+                                                           configs)
+            logs = amp.log
             e_loc = lax.stop_gradient(
                 ham.local_value(wf, params, configs, amp))
 
@@ -104,9 +103,8 @@ class EnergyGradientOptimizer:
             configs = smp.configs
             local_batch = configs.shape[0]
 
-            logs, pullback = common.log_amp_phase_pullback(wf, params,
-                                                           configs)
-            amp = wf.apply(params, configs)
+            amp, pullback = common.log_amp_phase_pullback(wf, params,
+                                                          configs)
             e_loc = lax.stop_gradient(
                 ham.local_value(wf, params, configs, amp))
             e_re, e_im = jnp.real(e_loc), jnp.imag(e_loc)

@@ -1,0 +1,175 @@
+"""Fast-path sampler registry: delta-logpsi-style dispatch by ansatz.
+
+SURVEY.md §7 asked for an incremental-amplitude fast-path protocol "from
+day one"; rounds 1-2 instead grew an if-chain in optim/common.py.  This
+registry replaces it: each fast path is an entry with its own
+``supports(wf, config)`` predicate and ``make(wf, config)`` factory, and
+third-party ansatzes register theirs with :func:`register_fast_path`
+without touching framework code.
+
+Entries are consulted in DESCENDING priority; the first whose
+``supports`` returns True wins, and the generic per-chain Metropolis
+sampler (priority -inf, always supported) is the fallback.  Built-in
+priorities encode the round-2 dispatch semantics exactly:
+
+====================  ========  =====================================
+entry                 priority  condition
+====================  ========  =====================================
+mtm                        100  config.mtm_candidates > 1 (explicit)
+mps_env                     90  config.mps_incremental_sweeps (opt-in)
+rbm_pallas                  50  pure RBM + TPU backend + use_fast_sampler
+pbdg_sherman_morrison       40  ProjectedBDG + use_fast_sampler
+generic                   -inf  always
+====================  ========  =====================================
+
+Explicit knobs outrank automatic dispatch; automatic dispatch ranks by
+measured speedup (RESULTS.md throughput table).
+
+On FullyConnectedNNB there is deliberately NO incremental entry: the
+backflow matrix M(R) is emitted by an MLP of the FULL configuration
+(reference wavefunctions.py:931-998), so a single pair exchange moves
+every entry of M — the det update is not low-rank in any basis, unlike
+ProjectedBDG whose pairing matrix is configuration-independent and only
+has its row/column selection change.  Any "fast" path would still pay
+the full MLP forward per proposal; the measured ceiling of skipping only
+the slogdet is below 1.6x (see tests/test_registry.py::
+test_nnb_rank1_justification, which times the MLP-emission vs slogdet
+split), not worth a second amplitude code path that can drift.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Callable, List, NamedTuple, Optional
+
+import jax
+
+from cgs_vmc_tpu.models.base import Wavefunction
+
+# sweeps_fn(params, sampler_state, num_sweeps) -> sampler_state
+SweepsFn = Callable[..., object]
+
+
+class FastPath(NamedTuple):
+    name: str
+    priority: float
+    supports: Callable[[Wavefunction, object], bool]
+    make: Callable[[Wavefunction, object], SweepsFn]
+
+
+_REGISTRY: List[FastPath] = []
+
+
+def register_fast_path(name: str, *, priority: float,
+                       supports: Callable[[Wavefunction, object], bool],
+                       make: Callable[[Wavefunction, object], SweepsFn],
+                       ) -> None:
+    """Registers a sampler fast path (idempotent by name: re-registering
+    an existing name replaces it, so modules can be reloaded)."""
+    global _REGISTRY
+    _REGISTRY = [e for e in _REGISTRY if e.name != name]
+    entry = FastPath(name, float(priority), supports, make)
+    # Keep descending priority; stable for equal priorities.
+    keys = [-e.priority for e in _REGISTRY]
+    _REGISTRY.insert(bisect.bisect_right(keys, -entry.priority), entry)
+
+
+def registered_fast_paths() -> List[FastPath]:
+    return list(_REGISTRY)
+
+
+def resolve_sweeps_fn(wf: Wavefunction, config) -> SweepsFn:
+    """Highest-priority supporting fast path, else the generic sampler."""
+    for entry in _REGISTRY:
+        if entry.supports(wf, config):
+            return entry.make(wf, config)
+    from cgs_vmc_tpu.sampler import metropolis as mp
+
+    def generic(params, state, num_sweeps):
+        return mp.run_sweeps(wf, params, state, num_sweeps)
+    return generic
+
+
+def resolved_name(wf: Wavefunction, config) -> str:
+    """Which entry resolve_sweeps_fn would pick (for logs/tests)."""
+    for entry in _REGISTRY:
+        if entry.supports(wf, config):
+            return entry.name
+    return 'generic'
+
+
+# ---------------------------------------------------------------------------
+# Built-in fast paths (the round-2 dispatch order, see module docstring).
+
+def _register_builtins() -> None:
+    def mtm_supports(wf, config):
+        k = getattr(config, 'mtm_candidates', 0)
+        return bool(k and k > 1)
+
+    def mtm_make(wf, config):
+        from cgs_vmc_tpu.sampler import mtm
+        k = config.mtm_candidates
+
+        def sweeps(params, state, num_sweeps):
+            return mtm.run_sweeps(wf, params, state, num_sweeps, k=k)
+        return sweeps
+
+    register_fast_path('mtm', priority=100,
+                       supports=mtm_supports, make=mtm_make)
+
+    def mps_supports(wf, config):
+        if not getattr(config, 'mps_incremental_sweeps', False):
+            return False
+        from cgs_vmc_tpu.sampler import fast_mps
+        return fast_mps.supports(wf)
+
+    def mps_make(wf, config):
+        from cgs_vmc_tpu.sampler import fast_mps
+
+        def sweeps(params, state, num_sweeps):
+            return fast_mps.run_sweeps(wf, params, state, num_sweeps)
+        return sweeps
+
+    register_fast_path('mps_env', priority=90,
+                       supports=mps_supports, make=mps_make)
+
+    def rbm_supports(wf, config):
+        # The fused kernel only pays off where Mosaic compiles it
+        # natively; on CPU the TPU-interpreter fallback is slower than
+        # the generic path.
+        if not getattr(config, 'use_fast_sampler', True):
+            return False
+        if jax.default_backend() != 'tpu':
+            return False
+        from cgs_vmc_tpu.sampler import fast_rbm
+        return fast_rbm.supports(wf)
+
+    def rbm_make(wf, config):
+        from cgs_vmc_tpu.sampler import fast_rbm
+
+        def sweeps(params, state, num_sweeps):
+            return fast_rbm.run_sweeps(wf, params, state, num_sweeps)
+        return sweeps
+
+    register_fast_path('rbm_pallas', priority=50,
+                       supports=rbm_supports, make=rbm_make)
+
+    def pbdg_supports(wf, config):
+        # Pure-XLA incremental path: beneficial on every backend.
+        if not getattr(config, 'use_fast_sampler', True):
+            return False
+        from cgs_vmc_tpu.sampler import fast_pbdg
+        return fast_pbdg.supports(wf)
+
+    def pbdg_make(wf, config):
+        from cgs_vmc_tpu.sampler import fast_pbdg
+
+        def sweeps(params, state, num_sweeps):
+            return fast_pbdg.run_sweeps(wf, params, state, num_sweeps)
+        return sweeps
+
+    register_fast_path('pbdg_sherman_morrison', priority=40,
+                       supports=pbdg_supports, make=pbdg_make)
+
+
+_register_builtins()
