@@ -314,6 +314,194 @@ def rbm_sweeps(w: jax.Array, b: jax.Array, a: jax.Array,
     return RbmSweepResult(new_configs, new_theta, new_logamp, accepted)
 
 
+def _sweep_kernel_prng(seed_ref, configs_ref, theta_ref, logamp_ref,
+                       w_ref, a_ref,
+                       out_configs, out_theta, out_logamp, out_accepted,
+                       n_steps: int, n_down: int, n_up: int):
+    """In-kernel-PRNG variant of `_sweep_kernel` (groups == 1 only).
+
+    Rank picks and acceptance uniforms come from `pltpu.prng_random_bits`
+    seeded per (kernel call, grid block), so NOTHING is streamed from HBM:
+    the ~12 bytes/step/chain of picks + log-uniforms (≈350 MB per
+    400-sweep call at 2048 chains) disappear (round-2 review item).  The
+    PRNG state advances on its own serial chain, independent of the
+    θ-dependency chain, so the draws can overlap the physics ops.
+
+    Rank uniformity: ranks are floor(u24 · n) with u24 a 24-bit uniform;
+    the modulo-free mapping has relative bias ≤ n/2²⁴ (≈1e-6 at n = 18) —
+    orders of magnitude below MC statistics.  Untestable under the CPU
+    interpreter (prng_random_bits is a zero stub there); validated on
+    real TPU against the streamed kernel's equilibrium statistics
+    (tests/test_pallas_kernel.py keeps the streamed path as the bitwise
+    oracle).
+    """
+    n_sites = configs_ref.shape[0]
+    n_chains = theta_ref.shape[0]
+    width = n_chains
+
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+
+    out_configs[:] = configs_ref[:]
+    row = lax.broadcasted_iota(
+        jnp.int32, (n_sites, width), 0).astype(jnp.float32)
+    inv24 = 1.0 / float(1 << 24)
+
+    def u01(bits):
+        # Top 24 bits -> uniform [0, 1) exactly representable in f32.
+        return (bits >> 8).astype(jnp.float32) * inv24
+
+    def step(t, carry):
+        theta, lc, log_amp, accepted, count, total_down = carry
+        cfg = out_configs[:]                      # [n_sites, width]
+        bits = pltpu.prng_random_bits((3, width))
+        k_down = jnp.floor(u01(bits[0:1]) * float(n_down))  # [1, width]
+        k_up = jnp.floor(u01(bits[1:2]) * float(n_up))
+        log_u = jnp.log(u01(bits[2:3]))[0]        # [width]
+
+        down = 0.5 * (1.0 - cfg)
+        rank_down = count - down
+        rank_up = row - count
+        onehot_down = down * (rank_down == k_down).astype(jnp.float32)
+        onehot_up = (1.0 - down) * (rank_up == k_up).astype(jnp.float32)
+        delta = 2.0 * (onehot_down - onehot_up)
+
+        d_theta = lax.dot_general(
+            delta, w_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        theta_new = theta + d_theta
+        lc_new = _log_cosh(theta_new)
+
+        d_onsite = jnp.sum(delta * a_ref[:], axis=0)
+        d_log = d_onsite + jnp.sum(lc_new - lc, axis=-1)
+
+        # Ranks are drawn in [0, n_down)/[0, n_up) by construction, so in
+        # the half-filled sector every move is active (fast_rbm enforces
+        # the sector).
+        acc = (2.0 * d_log > log_u).astype(jnp.float32)
+
+        out_configs[:] = cfg + acc[None, :] * delta
+        pos_removed = jnp.sum(row * onehot_down, axis=0)
+        pos_added = jnp.sum(row * onehot_up, axis=0)
+        acc_row = acc[None, :]
+        count = count + acc_row * (
+            (row >= pos_added[None, :]).astype(jnp.float32)
+            - (row >= pos_removed[None, :]).astype(jnp.float32))
+        acc_col = acc[:, None]
+        theta = theta + acc_col * d_theta
+        lc = lc + acc_col * (lc_new - lc)
+        log_amp = log_amp + acc * d_log
+        accepted = accepted + acc
+        return theta, lc, log_amp, accepted, count, total_down
+
+    theta0 = theta_ref[:]
+    down0 = 0.5 * (1.0 - configs_ref[:])
+    count0 = _inclusive_cumsum_rows(down0, n_sites)
+    init = (theta0, _log_cosh(theta0), logamp_ref[:],
+            jnp.zeros((width,), jnp.float32),
+            count0, jnp.sum(down0, axis=0))
+    theta, _, log_amp, accepted, _, _ = lax.fori_loop(0, n_steps, step, init)
+    out_theta[:] = theta
+    out_logamp[:] = log_amp
+    out_accepted[:] = accepted
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_steps', 'block_chains', 'interpret'))
+def rbm_sweeps_prng(w: jax.Array, b: jax.Array, a: jax.Array,
+                    configs: jax.Array, n_steps: int, seed: jax.Array,
+                    block_chains: int = 2048,
+                    interpret: bool = False) -> RbmSweepResult:
+    """`rbm_sweeps` with ALL randomness generated in-kernel.
+
+    Args match `rbm_sweeps` except picks/key are replaced by:
+      n_steps: number of per-chain exchange steps to run.
+      seed: int32 scalar (or python int); vary per call — the kernel
+        folds in a per-chunk counter and the grid block index, so equal
+        seeds give equal trajectories (pure function of inputs).
+
+    HBM randomness traffic: zero (vs 12 B/step/chain streamed).
+    """
+    n_chains, n_sites = configs.shape
+    hidden = w.shape[1]
+    if n_chains % block_chains:
+        raise ValueError(f'chains {n_chains} % block {block_chains} != 0')
+    if n_sites % 2:
+        raise ValueError('rbm_sweeps_prng requires the half-filled sector')
+    n_down = n_sites // 2
+    n_up = n_sites - n_down
+
+    # Same chunking policy as the streamed kernel (Mosaic compile time),
+    # though VMEM no longer bounds it — the randomness occupies nothing.
+    chunk = min(n_steps, 8 * max(n_sites, 8))
+    n_chunks = -(-n_steps // chunk)
+    steps_per_chunk = [chunk] * (n_chunks - 1) + [n_steps
+                                                  - chunk * (n_chunks - 1)]
+
+    theta = configs @ w + b
+    onsite = configs @ a
+    log_amp = onsite + jnp.sum(_log_cosh(theta), axis=-1)
+    configs_t = configs.T
+    a_col = a.reshape(n_sites, 1)
+
+    grid = (n_chains // block_chains,)
+    state_in_specs = [
+        pl.BlockSpec((n_sites, block_chains), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_chains, hidden), lambda g: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_chains,), lambda g: (g,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_sites, hidden), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_sites, 1), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((n_sites, block_chains), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_chains, hidden), lambda g: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_chains,), lambda g: (g,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_chains,), lambda g: (g,),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_sites, n_chains), jnp.float32),
+        jax.ShapeDtypeStruct((n_chains, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((n_chains,), jnp.float32),
+        jax.ShapeDtypeStruct((n_chains,), jnp.float32),
+    ]
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+
+    seed = jnp.asarray(seed, jnp.int32)
+    state = (configs_t, theta, log_amp, jnp.zeros((n_chains,), jnp.float32))
+    for c, steps in enumerate(steps_per_chunk):
+        kernel_call = pl.pallas_call(
+            functools.partial(_sweep_kernel_prng, n_steps=steps,
+                              n_down=n_down, n_up=n_up),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + state_in_specs,
+                out_specs=out_specs),
+            out_shape=out_shapes,
+            interpret=interpret_mode,
+        )
+        configs_t, theta, log_amp, acc = kernel_call(
+            jnp.stack([seed, jnp.asarray(c, jnp.int32)]),
+            state[0], state[1], state[2], w, a_col)
+        state = (configs_t, theta, log_amp, state[3] + acc)
+
+    new_configs = state[0].T
+    # Recompute the caches from the final configs (drift removal, as in
+    # the streamed kernel).
+    new_theta = new_configs @ w + b
+    new_logamp = new_configs @ a + jnp.sum(_log_cosh(new_theta), axis=-1)
+    return RbmSweepResult(new_configs, new_theta, new_logamp, state[3])
+
+
 def rbm_sweeps_reference(w, b, a, configs, picks, key) -> RbmSweepResult:
     """Pure-JAX implementation of the same per-chain rank-pick semantics
     (full recompute per step) — the correctness oracle for the kernel.

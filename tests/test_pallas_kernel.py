@@ -200,3 +200,29 @@ def test_groups_interleaving_is_trajectory_invariant():
                                       np.asarray(base.configs))
         np.testing.assert_array_equal(np.asarray(out.num_accepted),
                                       np.asarray(base.num_accepted))
+
+
+def test_prng_kernel_smoke_invariants():
+    """In-kernel-PRNG variant: CPU smoke only — the TPU interpreter stubs
+    prng_random_bits to zeros (memory: jax 0.9.0), so trajectories are
+    degenerate here (rank-0/rank-0 picks, always-accept); shapes, spin
+    values, Sz conservation and cache consistency still must hold.  Real
+    statistical validation runs on TPU (examples/bench_prng_kernel.py)."""
+    n_sites, n_chains, hidden = 8, 16, 8
+    key = jax.random.key(0)
+    w = 0.1 * jax.random.normal(key, (n_sites, hidden), jnp.float32)
+    b = jnp.zeros((hidden,), jnp.float32)
+    a = jnp.zeros((n_sites,), jnp.float32)
+    configs = basis.random_configurations(jax.random.key(1), n_sites,
+                                          n_chains)
+    out = kernels.rbm_sweeps_prng(w, b, a, configs, 5, 7,
+                                  block_chains=n_chains, interpret=True)
+    arr = np.asarray(out.configs)
+    assert set(np.unique(arr)) <= {-1.0, 1.0}
+    np.testing.assert_array_equal(arr.sum(axis=1),
+                                  np.asarray(configs).sum(axis=1))
+    # Caches recomputed from final configs must match a fresh forward.
+    theta = arr @ np.asarray(w) + np.asarray(b)
+    log_amp = arr @ np.asarray(a) + np.log(np.cosh(theta)).sum(-1)
+    np.testing.assert_allclose(np.asarray(out.log_amp), log_amp, rtol=1e-5)
+    assert np.all(np.asarray(out.num_accepted) >= 0)
