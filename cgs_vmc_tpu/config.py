@@ -129,6 +129,10 @@ class Config:
     sr_jacobian_chunk: int = 0
     # Skip the update when solve residual > this × |grad| (0 disables).
     sr_reject_residual: float = 0.0
+    # Matmul precision for the SR solve GEMMs (JJᵀ assembly, Jᵀy):
+    # 'highest' = 6-pass f32 (safest), 'high' = 3-pass bf16 — ~2x faster
+    # on the MXU; the [M, M] Cholesky itself always stays f32.
+    sr_matmul_precision: str = 'highest'
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
     # Use the fused Pallas sweep kernel when the ansatz supports it

@@ -243,7 +243,7 @@ class StochasticReconfiguration:
             m_global = jac.shape[0]
 
         n_rows = jac.shape[0]  # M for real logs, 2M for complex (stacked)
-        with jax.default_matmul_precision('highest'):
+        with jax.default_matmul_precision(cfg.sr_matmul_precision):
             t_matrix = (jac @ jac.T) / m_global             # [rows, rows]
             # Scale-invariant regularization: shift relative to the mean
             # diagonal so conditioning doesn't depend on gradient scale
@@ -261,7 +261,7 @@ class StochasticReconfiguration:
         grad_e = unravel(grad_flat)
         # Residual of the parameter-space system, for monitoring:
         # S δ + ε_eff δ − g with S = ŌᵀŌ/M.
-        with jax.default_matmul_precision('highest'):
+        with jax.default_matmul_precision(cfg.sr_matmul_precision):
             s_delta = jac.T @ (jac @ delta_flat) / m_global
         residual_norm = jnp.linalg.norm(
             s_delta + (cfg.sr_diag_shift * diag_scale) * delta_flat
@@ -322,7 +322,7 @@ class StochasticReconfiguration:
         diag_scale = psum(jnp.sum(jac * jac)) / (n_rows_global * m_global)
         shift = cfg.sr_diag_shift * (diag_scale + 1e-12)
 
-        with jax.default_matmul_precision('highest'):
+        with jax.default_matmul_precision(cfg.sr_matmul_precision):
             def matvec(x_loc):
                 u = psum(jac.T @ x_loc)                     # [P] replicated
                 return jac @ u / m_global + shift * x_loc

@@ -22,7 +22,7 @@ from cgs_vmc_tpu.sampler import metropolis
 
 
 def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
-            reps=5):
+            reps=5, mat_prec='highest'):
     cfg = Config(num_sites=36, size_x=6, size_y=6,
                  wavefunction_type='conv_2d', num_conv_layers=5,
                  num_conv_filters=32, kernel_size=3,
@@ -34,7 +34,7 @@ def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
                  sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
                  symmetrize=True, compute_dtype=dtype,
                  energy_chunk_samples=echunk, sr_jacobian_chunk=jac_chunk,
-                 seed=11)
+                 sr_matmul_precision=mat_prec, seed=11)
     wf = build_wavefunction(cfg)
     ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6),
                                 -1.0, 1.0, sample_chunk=echunk)
@@ -106,3 +106,5 @@ variant('fp32 M=8192', 'float32', 2048, 4)
 variant('bf16 M=8192', 'bfloat16', 2048, 4)
 variant('bf16 M=8192 jac_chunk=1024 echunk=256', 'bfloat16', 2048, 4,
         jac_chunk=1024, echunk=256)
+variant('fp32 M=4096 solveprec=high', 'float32', 1024, 4, mat_prec='high')
+variant('bf16 M=8192 solveprec=high', 'bfloat16', 2048, 4, mat_prec='high')
