@@ -135,6 +135,11 @@ class Config:
     sr_matmul_precision: str = 'highest'
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
+    # Evaluation as SEPARATE small compiled programs (sweeps / local value)
+    # driven from Python instead of one monolithic scan — required on
+    # constrained TPU transports for big symmetrized fan-outs (see
+    # evaluate._evaluate_operator_split).  Single-device only.
+    split_eval: bool = False
     # Use the fused Pallas sweep kernel when the ansatz supports it
     # (pure RBM): O(hidden) incremental updates instead of full forwards.
     use_fast_sampler: bool = True

@@ -59,6 +59,11 @@ def evaluate_operator(
     from cgs_vmc_tpu.optim.common import make_sweeps_fn
     sweeps_fn = make_sweeps_fn(wf, config)
 
+    if getattr(config, 'split_eval', False) and \
+            getattr(config, 'num_devices', 1) <= 1:
+        return _evaluate_operator_split(wf, params, operator, config,
+                                        state, sweeps_fn)
+
     def local_run(smp, axis_name=None):
         smp = metropolis.reset_stats(smp)
         smp = sweeps_fn(params, smp, config.num_equilibration_sweeps)
@@ -111,6 +116,46 @@ def evaluate_operator(
         error=float(err),
         values=values,
         acceptance_rate=float(acc),
+    )
+
+
+def _evaluate_operator_split(wf, params, operator, config, state,
+                             sweeps_fn) -> EvalResult:
+    """Split-program evaluation: sweeps and the local-value estimator are
+    SEPARATE small compiled programs driven by a Python loop, instead of
+    one program scanning over all samples.
+
+    Identical estimator semantics to the monolithic path; exists because
+    a single program containing num_evaluation_samples × the full
+    connected-config fan-out of a big symmetrized ansatz can crash
+    constrained TPU transports (the committed 6x6/10x10 headline numbers
+    were produced this way — examples/eval_splitprog.py; round-2 review
+    asked for the mode to be reachable from the library/CLI, e.g.
+    ``cgs eval --override split_eval=true``)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def sweep_prog(p, smp, n):
+        return sweeps_fn(p, smp, n)
+
+    @jax.jit
+    def value_prog(p, configs):
+        return jnp.real(jnp.mean(operator.local_value(wf, p, configs)))
+
+    state = metropolis.reset_stats(state)
+    state = sweep_prog(params, state, config.num_equilibration_sweeps)
+    values = []
+    for _ in range(config.num_evaluation_samples):
+        values.append(float(value_prog(params, state.configs)))
+        state = sweep_prog(params, state,
+                           config.num_monte_carlo_sweeps)
+    values = np.asarray(values)
+    mean, err = binned_error(values)
+    return EvalResult(
+        mean=float(mean),
+        error=float(err),
+        values=values,
+        acceptance_rate=float(metropolis.acceptance_rate(state)),
     )
 
 

@@ -86,3 +86,25 @@ def test_exact_expectation_matches_ed():
     ham = HeisenbergHamiltonian(BONDS)
     value = exact_expectation(wf, params, ham, N, batch=16)
     np.testing.assert_allclose(value, E0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_split_eval_matches_monolithic():
+    """split_eval=True runs sweeps/estimator as separate small programs
+    (the mode the headline artifact evals used); with the same seed it
+    must reproduce the monolithic scan's estimate within MC agreement,
+    and on an exact wavefunction both are zero-variance at E0."""
+    wf, params = _exact_wf()
+    config = Config(num_sites=N, batch_size=64,
+                    num_equilibration_sweeps=10, num_monte_carlo_sweeps=1,
+                    num_evaluation_samples=20)
+    ham = HeisenbergHamiltonian(BONDS)
+    mono = evaluate_operator(wf, params, ham, config,
+                             key=jax.random.key(4))
+    split = evaluate_operator(wf, params, ham,
+                              config.replace(split_eval=True),
+                              key=jax.random.key(4))
+    np.testing.assert_allclose(split.mean, E0, rtol=1e-4)
+    np.testing.assert_allclose(mono.mean, split.mean, rtol=1e-4)
+    assert split.values.shape == (20,)
+    assert 0.0 < split.acceptance_rate <= 1.0
