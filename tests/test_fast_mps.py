@@ -124,3 +124,14 @@ def test_dispatch_opt_in():
         mps_incremental_sweeps=False))
     out2 = sweeps_off(params, state, 2)
     assert float(out2.num_proposed.sum()) == CHAINS * 2 * N
+
+
+def test_fast_mps_advances_all_chain_keys():
+    """Round-3 RNG contract: the fast path must advance EVERY chain's key
+    (see metropolis.advance_chain_keys)."""
+    wf, params, state = _setup(seed=3)
+    before = np.asarray(jax.random.key_data(state.keys))
+    out = fast_mps.run_sweeps(wf, params, state, 1)
+    after = np.asarray(jax.random.key_data(out.keys))
+    assert (before != after).any(axis=-1).all()
+    assert len({tuple(k) for k in after.tolist()}) == after.shape[0]

@@ -150,3 +150,14 @@ def test_pbdg_fast_path_trains_end_to_end():
     assert np.isfinite(energies).all()
     assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.3
     assert 0.01 < float(metrics['acceptance_rate']) <= 1.0
+
+
+def test_fast_pbdg_advances_all_chain_keys():
+    """Round-3 RNG contract: the fast path must advance EVERY chain's key
+    (see metropolis.advance_chain_keys)."""
+    wf, params, state = _setup(seed=3)
+    before = np.asarray(jax.random.key_data(state.keys))
+    out = fast_pbdg.run_sweeps(wf, params, state, 1)
+    after = np.asarray(jax.random.key_data(out.keys))
+    assert (before != after).any(axis=-1).all()
+    assert len({tuple(k) for k in after.tolist()}) == after.shape[0]
