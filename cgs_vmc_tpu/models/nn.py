@@ -101,12 +101,17 @@ def conv1d_periodic_apply(params: dict, x: jax.Array, stride: int = 1
     """Periodic 1-D conv; x: [batch, width, in_ch] -> [batch, width, out_ch]."""
     kernel = params['w'].shape[0]
     padded = _periodic_pad_1d(x, kernel)
+    # Output dtype follows the input dtype: the MXU still accumulates in
+    # f32 internally, and forcing preferred_element_type=f32 on bf16
+    # inputs makes the conv TRANSPOSE rule pair an f32 cotangent with the
+    # bf16 kernel (dtype-mismatch error under grad) — one output rounding
+    # per layer is the standard bf16 trade.
     out = lax.conv_general_dilated(
         padded, params['w'],
         window_strides=(stride,),
         padding='VALID',
         dimension_numbers=('NWC', 'WIO', 'NWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return out + params['b']
 
@@ -128,12 +133,13 @@ def conv2d_periodic_apply(params: dict, x: jax.Array, stride: int = 1
     """Periodic 2-D conv; x: [batch, h, w, in_ch] -> [batch, h, w, out_ch]."""
     kernel = params['w'].shape[0]
     padded = _periodic_pad_2d(x, kernel)
+    # See conv1d_periodic_apply on the dtype choice (bf16 grad support).
     out = lax.conv_general_dilated(
         padded, params['w'],
         window_strides=(stride, stride),
         padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return out + params['b']
 
