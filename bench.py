@@ -68,19 +68,21 @@ def bench_rbm_kernel():
     a = jnp.zeros((N_SITES,), jnp.float32)
     configs = basis.random_configurations(jax.random.key(1), N_SITES,
                                           N_CHAINS)
-    picks = kernels.sample_picks(jax.random.key(2),
-                                 sweeps_per_call * N_SITES, N_SITES,
-                                 N_CHAINS)
+    n_steps = sweeps_per_call * N_SITES
 
-    out = kernels.rbm_sweeps(w, b, a, configs, picks, jax.random.key(3))
+    # Primary: the in-kernel-PRNG kernel (round-3: 1.22x the streamed
+    # kernel on v5e, zero streamed-randomness HBM traffic; equilibrium
+    # statistics validated against the streamed bitwise-oracle kernel —
+    # examples/bench_prng_kernel.py).
+    out = kernels.rbm_sweeps_prng(w, b, a, configs, n_steps, 7)
     jax.block_until_ready(out)
 
     times = []
     total_accepted = 0.0
     for rep in range(reps):
         t0 = time.perf_counter()
-        out = kernels.rbm_sweeps(w, b, a, out.configs, picks,
-                                 jax.random.key(4 + rep))
+        out = kernels.rbm_sweeps_prng(w, b, a, out.configs, n_steps,
+                                      100 + rep)
         # Device->host transfer inside the timed region: unlike
         # block_until_ready (which some transports ack early), reading a
         # value cannot complete before the computation has.
@@ -94,9 +96,24 @@ def bench_rbm_kernel():
     acceptance = total_accepted / proposals
     assert 0.05 < acceptance < 0.98, f'implausible acceptance {acceptance}'
     median = sorted(times)[len(times) // 2]
+
+    # Secondary: the streamed-randomness oracle kernel, one timed call.
+    picks = kernels.sample_picks(jax.random.key(2), n_steps, N_SITES,
+                                 N_CHAINS)
+    s_out = kernels.rbm_sweeps(w, b, a, configs, picks, jax.random.key(3))
+    jax.block_until_ready(s_out)
+    t0 = time.perf_counter()
+    s_out = kernels.rbm_sweeps(w, b, a, s_out.configs, picks,
+                               jax.random.key(4))
+    _ = float(s_out.num_accepted.sum())
+    t_streamed = time.perf_counter() - t0
+
     return sweeps_per_call / median, {
         'sweep_rep_spread': round(
             (max(times) - min(times)) / median, 3),
+        'kernel': 'in-kernel prng (rbm_sweeps_prng)',
+        'streamed_kernel_sweeps_per_sec': round(
+            sweeps_per_call / t_streamed, 1),
     }
 
 

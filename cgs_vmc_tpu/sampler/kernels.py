@@ -339,7 +339,10 @@ def _sweep_kernel_prng(seed_ref, configs_ref, theta_ref, logamp_ref,
     n_chains = theta_ref.shape[0]
     width = n_chains
 
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic supports at most TWO seed values: fold the per-call chunk
+    # counter and the grid block index into one (blocks ≪ 2¹⁶).
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] * 65536 + pl.program_id(0))
 
     out_configs[:] = configs_ref[:]
     row = lax.broadcasted_iota(
@@ -347,8 +350,13 @@ def _sweep_kernel_prng(seed_ref, configs_ref, theta_ref, logamp_ref,
     inv24 = 1.0 / float(1 << 24)
 
     def u01(bits):
-        # Top 24 bits -> uniform [0, 1) exactly representable in f32.
-        return (bits >> 8).astype(jnp.float32) * inv24
+        # LOW 24 bits -> uniform [0, 1) exactly representable in f32.
+        # Masking (not shifting): prng_random_bits yields SIGNED int32 on
+        # TPU, and an arithmetic >> smears the sign bit into negative
+        # "uniforms" (NaN log, never-matching ranks) for half the draws —
+        # the first hardware run caught exactly that (acceptance 0.49 vs
+        # the streamed kernel's 0.75).
+        return jnp.bitwise_and(bits, 0xFFFFFF).astype(jnp.float32) * inv24
 
     def step(t, carry):
         theta, lc, log_amp, accepted, count, total_down = carry
