@@ -130,6 +130,10 @@ def _flagship_config():
                   optimizer='gradient', heisenberg_jx=-1.0,
                   sr_diag_shift=1e-2, sr_solver='dense',
                   sr_delta_clip=1.0, symmetrize=True,
+                  # Round-3 pick: bf16 3-pass for the JJᵀ assembly GEMMs
+                  # (solve 0.19→0.17s; physics validated to the same
+                  # 3e-4 flagship floor — RESULTS.md round-3 notes).
+                  sr_matmul_precision='high',
                   energy_chunk_samples=128, sr_jacobian_chunk=512, seed=11)
 
 
