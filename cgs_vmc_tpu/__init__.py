@@ -20,6 +20,8 @@ _LAZY = {
     'evaluate_vector': ('cgs_vmc_tpu.evaluate', 'evaluate_vector'),
     'HeisenbergHamiltonian': ('cgs_vmc_tpu.ops.heisenberg',
                               'HeisenbergHamiltonian'),
+    'TransverseFieldIsingHamiltonian': ('cgs_vmc_tpu.ops.ising',
+                                        'TransverseFieldIsingHamiltonian'),
 }
 
 

@@ -34,6 +34,31 @@ def random_configurations(key: jax.Array, n_sites: int, batch_size: int
     return jax.vmap(lambda k: jax.random.permutation(k, template))(keys)
 
 
+def random_spin_configurations(key: jax.Array, n_sites: int,
+                               batch_size: int) -> jax.Array:
+    """Uniformly random ±1 configurations over the FULL 2^N space, float32.
+
+    Initializer for non-Sz-conserving sampling (``mc_move_type='flip'``,
+    e.g. the transverse-field Ising model, ops/ising.py) — the reference
+    had only the Sz=0 initializer because its one Hamiltonian conserved Sz.
+    """
+    return jax.random.rademacher(key, (batch_size, n_sites),
+                                 dtype=jnp.float32)
+
+
+def enumerate_full_basis(n_sites: int) -> np.ndarray:
+    """Every configuration of the full 2^N space as ±1 rows, float32.
+
+    Row index r encodes the configuration bitwise: site k holds +1 iff bit
+    k of r is set (LSB = site 0) — the same ordering `utils.ed.ising_matrix`
+    uses, so amplitude vectors line up without an index map.  Practical up
+    to n_sites ≈ 20 on host.
+    """
+    r = np.arange(2 ** n_sites, dtype=np.int64)
+    bits = (r[:, None] >> np.arange(n_sites)[None, :]) & 1
+    return (2.0 * bits - 1.0).astype(np.float32)
+
+
 def enumerate_sz_basis(n_sites: int, n_down: int | None = None) -> np.ndarray:
     """Enumerates every configuration in a fixed-Sz sector as ±1 rows.
 

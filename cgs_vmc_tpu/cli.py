@@ -308,9 +308,8 @@ def main(argv=None) -> int:
             evo = TimeEvolution(wf, hamiltonian, config, dt=args.dt,
                                 mode=args.mode, integrator=args.integrator)
             from cgs_vmc_tpu.sampler import metropolis
-            sampler = metropolis.init_sampler(
-                jax.random.key(config.seed + 1), wf, params,
-                config.num_sites, config.batch_size)
+            sampler = metropolis.init_sampler_for(
+                jax.random.key(config.seed + 1), wf, params, config)
             sampler = jax.jit(lambda s: evo.sweeps(
                 params, s, config.num_equilibration_sweeps))(sampler)
             params, sampler, records = evo.evolve(

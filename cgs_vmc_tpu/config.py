@@ -101,10 +101,22 @@ class Config:
     # Reduced-precision compute for conv ansatzes ('float32' | 'bfloat16');
     # weights/optimizer state stay f32, conv accumulation is f32.
     compute_dtype: str = 'float32'
+    # Hamiltonian family: 'heisenberg' (the reference's only operator) |
+    # 'ising' (transverse-field Ising, ops/ising.py — requires
+    # mc_move_type='flip' since it does not conserve Sz).
+    hamiltonian_type: str = 'heisenberg'
     # Hamiltonian (the reference took jx from a CLI flag and jz was fixed
     # to 1.0, cgs_vmc/run_training.py:27-29,112-113).
     heisenberg_jx: float = 1.0
     heisenberg_jz: float = 1.0
+    # Transverse-field Ising parameters (hamiltonian_type='ising'):
+    # H = -ising_j * sum_bonds sz*sz - ising_h * sum_i sx  (Pauli).
+    ising_h: float = 1.0
+    ising_j: float = 1.0
+    # Metropolis move set: 'exchange' (Sz-conserving down×up pair swap,
+    # the reference's move, graph_builders.py:59-65) | 'flip' (single
+    # spin flip over the full 2^N space, for non-conserving Hamiltonians).
+    mc_move_type: str = 'exchange'
     # Next-nearest-neighbour coupling J2/J1 (frustrated J1-J2 model on the
     # chain or square lattice; 0 = plain nearest-neighbour Heisenberg).
     heisenberg_j2: float = 0.0

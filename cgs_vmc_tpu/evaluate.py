@@ -52,8 +52,7 @@ def evaluate_operator(
     if state is None:
         if key is None:
             key = jax.random.key(config.seed)
-        state = metropolis.init_sampler(
-            key, wf, params, config.num_sites, config.batch_size)
+        state = metropolis.init_sampler_for(key, wf, params, config)
     state = metropolis.refresh_amplitudes(wf, params, state)
 
     from cgs_vmc_tpu.optim.common import make_sweeps_fn

@@ -51,14 +51,94 @@ class Operator:
         raise NotImplementedError
 
 
-class HeisenbergHamiltonian(Operator):
-    """H = sum_{(i,j) in bonds} J_z Sz_i Sz_j + J_x (Sx_i Sx_j + Sy_i Sy_j).
+class LocalOperator(Operator):
+    """Base for operators given by a diagonal plus a sparse connected set:
+
+        <R|O|psi> = diag(R)·psi(R) + sum_k w_k(R)·psi(R_k),
+
+    where subclasses supply ``diagonal(configs) -> [batch]`` and
+    ``connected(configs) -> (configs_k [batch, K, n_sites],
+    weights [batch, K])``.  The base provides the fused single-forward
+    local value (SURVEY.md §7.3: ONE [batch·K] pass instead of the
+    reference's per-term graph replication, operators.py:241-247), the
+    sample-chunked variant, and the Operator protocol methods.
 
     sample_chunk: when > 0, the fused connected-configuration forward pass
     is evaluated `sample_chunk` samples at a time via `lax.map` — the
-    fan-out is batch × n_bonds configurations (× the symmetry-orbit size
-    for projected ansatzes), which can exceed HBM for large lattices.
+    fan-out is batch × K configurations (× the symmetry-orbit size for
+    projected ansatzes), which can exceed HBM for large lattices.
     """
+
+    sample_chunk: int = 0
+
+    def diagonal(self, configs: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def connected(self, configs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        raise NotImplementedError
+
+    def _offdiag_ratio_sum(self, wf: Wavefunction, params: Params,
+                           configs: jax.Array, amp: LogAmp) -> jax.Array:
+        """sum_k w_k * psi(R_k)/psi(R) in one fused forward pass, [batch]."""
+        batch, n_sites = configs.shape
+        flipped, weights = self.connected(configs)
+        n_conn = flipped.shape[1]
+        flat = flipped.reshape(batch * n_conn, n_sites)
+        amp_f = wf.apply(params, flat)
+        log_f = amp_f.log.reshape(batch, n_conn)
+        sign_f = amp_f.sign.reshape(batch, n_conn)
+        ratios = (sign_f * amp.sign[:, None]
+                  * jnp.exp(log_f - amp.log[:, None]))
+        return jnp.sum(weights * ratios, axis=-1)
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        chunk = self.sample_chunk
+        if chunk and configs.shape[0] > chunk:
+            # Pad to a chunk multiple (repeating the first sample) rather
+            # than silently falling back to the full fan-out the chunking
+            # exists to prevent; padded results are dropped.
+            batch = configs.shape[0]
+            n_chunks = -(-batch // chunk)
+            pad = n_chunks * chunk - batch
+            if pad:
+                filler = jnp.broadcast_to(
+                    configs[:1], (pad, configs.shape[-1]))
+                padded = jnp.concatenate([configs, filler], axis=0)
+            else:
+                padded = configs
+            slices = padded.reshape(n_chunks, chunk, configs.shape[-1])
+
+            def one_chunk(c):
+                a = wf.apply(params, c)
+                return self.diagonal(c) + self._offdiag_ratio_sum(
+                    wf, params, c, a)
+
+            return jax.lax.map(one_chunk, slices).reshape(-1)[:batch]
+        if amp is None:
+            amp = wf.apply(params, configs)
+        return self.diagonal(configs) + self._offdiag_ratio_sum(
+            wf, params, configs, amp)
+
+    def apply_in_place(self, wf: Wavefunction, params: Params,
+                       configs: jax.Array, amp: Optional[LogAmp] = None
+                       ) -> LogAmp:
+        """<R|O|psi> = psi(R) * O_loc(R) as a LogAmp."""
+        if amp is None:
+            amp = wf.apply(params, configs)
+        o_loc = self.local_value(wf, params, configs, amp)
+        return LogAmp(amp.sign * jnp.sign(o_loc),
+                      amp.log + jnp.log(jnp.abs(o_loc)))
+
+    def apply(self, wf: Wavefunction) -> Wavefunction:
+        def transform(params: Params, configs: jax.Array) -> LogAmp:
+            return self.apply_in_place(wf, params, configs)
+        return TransformedWavefunction(transform, wf, name='o_applied')
+
+
+class HeisenbergHamiltonian(LocalOperator):
+    """H = sum_{(i,j) in bonds} J_z Sz_i Sz_j + J_x (Sx_i Sx_j + Sy_i Sy_j)."""
 
     def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0,
                  sample_chunk: int = 0,
@@ -119,66 +199,6 @@ class HeisenbergHamiltonian(Operator):
         if self.couplings is not None:
             weights = weights * self.couplings
         return flipped, weights
-
-    def _offdiag_ratio_sum(self, wf: Wavefunction, params: Params,
-                           configs: jax.Array, amp: LogAmp) -> jax.Array:
-        """sum_b w_b * psi(R_b)/psi(R) in one fused forward pass, [batch]."""
-        batch, n_sites = configs.shape
-        flipped, weights = self.connected(configs)
-        flat = flipped.reshape(batch * self.n_bonds, n_sites)
-        amp_f = wf.apply(params, flat)
-        log_f = amp_f.log.reshape(batch, self.n_bonds)
-        sign_f = amp_f.sign.reshape(batch, self.n_bonds)
-        ratios = (sign_f * amp.sign[:, None]
-                  * jnp.exp(log_f - amp.log[:, None]))
-        return jnp.sum(weights * ratios, axis=-1)
-
-    # ------------------------------------------------------------------
-
-    def local_value(self, wf: Wavefunction, params: Params,
-                    configs: jax.Array, amp: Optional[LogAmp] = None
-                    ) -> jax.Array:
-        chunk = self.sample_chunk
-        if chunk and configs.shape[0] > chunk:
-            # Pad to a chunk multiple (repeating the first sample) rather
-            # than silently falling back to the full fan-out the chunking
-            # exists to prevent; padded results are dropped.
-            batch = configs.shape[0]
-            n_chunks = -(-batch // chunk)
-            pad = n_chunks * chunk - batch
-            if pad:
-                filler = jnp.broadcast_to(
-                    configs[:1], (pad, configs.shape[-1]))
-                padded = jnp.concatenate([configs, filler], axis=0)
-            else:
-                padded = configs
-            slices = padded.reshape(n_chunks, chunk, configs.shape[-1])
-
-            def one_chunk(c):
-                a = wf.apply(params, c)
-                return self.diagonal(c) + self._offdiag_ratio_sum(
-                    wf, params, c, a)
-
-            return jax.lax.map(one_chunk, slices).reshape(-1)[:batch]
-        if amp is None:
-            amp = wf.apply(params, configs)
-        return self.diagonal(configs) + self._offdiag_ratio_sum(
-            wf, params, configs, amp)
-
-    def apply_in_place(self, wf: Wavefunction, params: Params,
-                       configs: jax.Array, amp: Optional[LogAmp] = None
-                       ) -> LogAmp:
-        """<R|H|psi> = psi(R) * E_loc(R) as a LogAmp."""
-        if amp is None:
-            amp = wf.apply(params, configs)
-        e_loc = self.local_value(wf, params, configs, amp)
-        return LogAmp(amp.sign * jnp.sign(e_loc),
-                      amp.log + jnp.log(jnp.abs(e_loc)))
-
-    def apply(self, wf: Wavefunction) -> Wavefunction:
-        def transform(params: Params, configs: jax.Array) -> LogAmp:
-            return self.apply_in_place(wf, params, configs)
-        return TransformedWavefunction(transform, wf, name='h_applied')
 
 
 class HeisenbergBond(HeisenbergHamiltonian):

@@ -86,10 +86,8 @@ def evaluate_renyi2(
     mask = region_mask(config.num_sites, region)
     sweeps_fn = make_sweeps_fn(wf, config)
 
-    state_x = metropolis.init_sampler(key_x, wf, params, config.num_sites,
-                                      config.batch_size)
-    state_y = metropolis.init_sampler(key_y, wf, params, config.num_sites,
-                                      config.batch_size)
+    state_x = metropolis.init_sampler_for(key_x, wf, params, config)
+    state_y = metropolis.init_sampler_for(key_y, wf, params, config)
 
     @jax.jit
     def run(sx, sy):

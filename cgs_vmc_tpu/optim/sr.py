@@ -83,9 +83,9 @@ class StochasticReconfiguration:
                    ) -> TrainState:
         params_key, sampler_key = jax.random.split(key)
         params = self.wf.init(params_key)
-        sampler = metropolis.init_sampler(
-            sampler_key, self.wf, params, self.config.num_sites,
-            n_local_chains or self.config.batch_size)
+        sampler = metropolis.init_sampler_for(
+            sampler_key, self.wf, params, self.config,
+            n_local_chains)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),

@@ -76,9 +76,9 @@ class _SWOBase:
                     n_local_chains: Optional[int] = None) -> TrainState:
         params_key, sampler_key = jax.random.split(key)
         params = self.wf.init(params_key)
-        sampler = metropolis.init_sampler(
-            sampler_key, self.wf, params, self.config.num_sites,
-            n_local_chains or self.config.batch_size)
+        sampler = metropolis.init_sampler_for(
+            sampler_key, self.wf, params, self.config,
+            n_local_chains)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),
@@ -436,10 +436,10 @@ class DualSamplingSWO(_SWOBase):
         half = (n_local_chains or self.config.batch_size) // 2
         k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
-        sampler = metropolis.init_sampler(
-            k2, self.wf, params, self.config.num_sites, half)
-        target_sampler = metropolis.init_sampler(
-            k3, self.target_wf, target_params, self.config.num_sites, half)
+        sampler = metropolis.init_sampler_for(
+            k2, self.wf, params, self.config, half)
+        target_sampler = metropolis.init_sampler_for(
+            k3, self.target_wf, target_params, self.config, half)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),
@@ -522,8 +522,8 @@ class BasisIterationSWO(_SWOBase):
         k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
         # A dummy 1-chain sampler keeps TrainState uniform across optimizers.
-        sampler = metropolis.init_sampler(
-            k2, self.wf, params, self.config.num_sites, 1)
+        sampler = metropolis.init_sampler_for(
+            k2, self.wf, params, self.config, 1)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),

@@ -164,9 +164,8 @@ class TimeEvolution:
 
     def init_state(self, key: jax.Array, params: Params
                    ) -> metropolis.SamplerState:
-        return metropolis.init_sampler(
-            key, self.wf, params, self.config.num_sites,
-            self.config.batch_size)
+        return metropolis.init_sampler_for(
+            key, self.wf, params, self.config)
 
     def step(self, params: Params, sampler: metropolis.SamplerState,
              dt: Optional[jax.Array] = None

@@ -38,12 +38,23 @@ class SamplerState(NamedTuple):
 
 
 def init_sampler(key: jax.Array, wf: Wavefunction, params: Params,
-                 n_sites: int, n_chains: int) -> SamplerState:
+                 n_sites: int, n_chains: int,
+                 full_space: bool = False) -> SamplerState:
     """Random Sz=0 chains + their amplitudes (reference utils.py:169-192
     for the initializer; amplitudes cached so each proposal needs only one
-    new forward pass, vs the reference's two, graph_builders.py:54-55,74)."""
+    new forward pass, vs the reference's two, graph_builders.py:54-55,74).
+
+    full_space: initialize uniformly over the full 2^N space instead of
+    the Sz=0 sector — required with the non-conserving 'flip' move
+    (non-Sz-conserving Hamiltonians, e.g. the transverse-field Ising
+    model)."""
     init_key, chain_key = jax.random.split(key)
-    configs = basis_lib.random_configurations(init_key, n_sites, n_chains)
+    if full_space:
+        configs = basis_lib.random_spin_configurations(
+            init_key, n_sites, n_chains)
+    else:
+        configs = basis_lib.random_configurations(init_key, n_sites,
+                                                  n_chains)
     amp = wf.apply(params, configs)
     return SamplerState(
         configs=configs,
@@ -82,15 +93,46 @@ def _propose_exchange(keys: jax.Array, configs: jax.Array
     return proposed, accept_u, new_keys
 
 
-def mc_step(wf: Wavefunction, params: Params, state: SamplerState
-            ) -> SamplerState:
-    """One Metropolis exchange move on every chain.
+def _propose_flip(keys: jax.Array, configs: jax.Array
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One single-spin-flip proposal per chain (non-Sz-conserving).
+
+    The move set for Hamiltonians that do not conserve Sz (e.g. the
+    transverse-field Ising model, ops/ising.py): flip one uniformly random
+    site.  The proposal is symmetric, so the plain |psi|² Metropolis
+    acceptance applies unchanged.
+
+    Returns (proposed_configs, accept_uniform, new_keys).
+    """
+    n_chains, n_sites = configs.shape
+
+    def per_chain(k):
+        k_next, k_site, k_accept = jax.random.split(k, 3)
+        site = jax.random.randint(k_site, (), 0, n_sites)
+        return k_next, site, jax.random.uniform(k_accept, ())
+
+    new_keys, sites, accept_u = jax.vmap(per_chain)(keys)
+    rows = jnp.arange(n_chains)
+    proposed = configs.at[rows, sites].multiply(-1.0)
+    return proposed, accept_u, new_keys
+
+
+PROPOSALS = {
+    'exchange': _propose_exchange,
+    'flip': _propose_flip,
+}
+
+
+def mc_step(wf: Wavefunction, params: Params, state: SamplerState,
+            move: str = 'exchange') -> SamplerState:
+    """One Metropolis move on every chain.
 
     Acceptance: |psi'|/|psi| > sqrt(u) ⇔ 2*(log' - log) > log(u), the
-    |psi|²-sampling rule of the reference (graph_builders.py:75-79).
+    |psi|²-sampling rule of the reference (graph_builders.py:75-79) —
+    valid for every move in PROPOSALS (all are symmetric proposals).
     """
-    proposed, accept_u, new_keys = _propose_exchange(state.keys,
-                                                     state.configs)
+    proposed, accept_u, new_keys = PROPOSALS[move](state.keys,
+                                                   state.configs)
     amp_new = wf.apply(params, proposed)
     # .real: |psi| = exp(Re log) — no-op for real ansatzes, and the phase
     # of a complex-log ansatz correctly never enters |psi|² sampling.
@@ -107,21 +149,34 @@ def mc_step(wf: Wavefunction, params: Params, state: SamplerState
 
 
 def run_steps(wf: Wavefunction, params: Params, state: SamplerState,
-              num_steps: int) -> SamplerState:
+              num_steps: int, move: str = 'exchange') -> SamplerState:
     """`num_steps` sequential moves inside one compiled loop."""
     if num_steps <= 0:
         return state
     return lax.fori_loop(
-        0, num_steps, lambda _, s: mc_step(wf, params, s), state)
+        0, num_steps, lambda _, s: mc_step(wf, params, s, move), state)
 
 
 def run_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
-               num_sweeps: int) -> SamplerState:
+               num_sweeps: int, move: str = 'exchange') -> SamplerState:
     """A sweep = n_sites proposals per chain (reference epoch loops ran
     `num_*_sweeps * num_sites` individual session.run calls,
     cgs_vmc/training.py:608-617)."""
     n_sites = state.configs.shape[-1]
-    return run_steps(wf, params, state, num_sweeps * n_sites)
+    return run_steps(wf, params, state, num_sweeps * n_sites, move)
+
+
+def move_type(config) -> str:
+    """The configured Metropolis move ('exchange' | 'flip')."""
+    return getattr(config, 'mc_move_type', 'exchange') or 'exchange'
+
+
+def init_sampler_for(key: jax.Array, wf: Wavefunction, params: Params,
+                     config, n_chains: int | None = None) -> SamplerState:
+    """Config-aware init: full-space chains when the move is 'flip'."""
+    return init_sampler(key, wf, params, config.num_sites,
+                        n_chains or config.batch_size,
+                        full_space=move_type(config) == 'flip')
 
 
 def refresh_amplitudes(wf: Wavefunction, params: Params,
@@ -168,9 +223,9 @@ def acceptance_rate(state: SamplerState) -> jax.Array:
     return jnp.sum(state.num_accepted) / jnp.maximum(total, 1.0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def jitted_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
-                  num_sweeps: int) -> SamplerState:
+                  num_sweeps: int, move: str = 'exchange') -> SamplerState:
     """Standalone jitted entry point (drivers embed run_sweeps in larger
     compiled epoch functions instead)."""
-    return run_sweeps(wf, params, state, num_sweeps)
+    return run_sweeps(wf, params, state, num_sweeps, move)

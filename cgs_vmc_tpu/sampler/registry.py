@@ -79,14 +79,21 @@ def registered_fast_paths() -> List[FastPath]:
 
 
 def resolve_sweeps_fn(wf: Wavefunction, config) -> SweepsFn:
-    """Highest-priority supporting fast path, else the generic sampler."""
+    """Highest-priority supporting fast path, else the generic sampler.
+
+    With a non-exchange move type (config.mc_move_type='flip') every
+    built-in fast path declines — they all implement incremental updates
+    of the Sz-conserving pair exchange — and the generic sampler runs the
+    configured move.
+    """
     for entry in _REGISTRY:
         if entry.supports(wf, config):
             return entry.make(wf, config)
     from cgs_vmc_tpu.sampler import metropolis as mp
+    move = mp.move_type(config)
 
     def generic(params, state, num_sweeps):
-        return mp.run_sweeps(wf, params, state, num_sweeps)
+        return mp.run_sweeps(wf, params, state, num_sweeps, move)
     return generic
 
 
@@ -98,11 +105,18 @@ def resolved_name(wf: Wavefunction, config) -> str:
     return 'generic'
 
 
+def _exchange_only(config) -> bool:
+    from cgs_vmc_tpu.sampler import metropolis as mp
+    return mp.move_type(config) == 'exchange'
+
+
 # ---------------------------------------------------------------------------
 # Built-in fast paths (the round-2 dispatch order, see module docstring).
 
 def _register_builtins() -> None:
     def mtm_supports(wf, config):
+        if not _exchange_only(config):
+            return False
         k = getattr(config, 'mtm_candidates', 0)
         return bool(k and k > 1)
 
@@ -118,6 +132,8 @@ def _register_builtins() -> None:
                        supports=mtm_supports, make=mtm_make)
 
     def mps_supports(wf, config):
+        if not _exchange_only(config):
+            return False
         if not getattr(config, 'mps_incremental_sweeps', False):
             return False
         from cgs_vmc_tpu.sampler import fast_mps
@@ -137,6 +153,8 @@ def _register_builtins() -> None:
         # The fused kernel only pays off where Mosaic compiles it
         # natively; on CPU the TPU-interpreter fallback is slower than
         # the generic path.
+        if not _exchange_only(config):
+            return False
         if not getattr(config, 'use_fast_sampler', True):
             return False
         if jax.default_backend() != 'tpu':
@@ -156,6 +174,8 @@ def _register_builtins() -> None:
 
     def pbdg_supports(wf, config):
         # Pure-XLA incremental path: beneficial on every backend.
+        if not _exchange_only(config):
+            return False
         if not getattr(config, 'use_fast_sampler', True):
             return False
         from cgs_vmc_tpu.sampler import fast_pbdg

@@ -28,9 +28,17 @@ from cgs_vmc_tpu.utils.metrics import MetricsLogger
 from cgs_vmc_tpu.utils.profiling import maybe_trace
 
 
-def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
-    """Bond resolution mirrors run_training.py:103-109: J-file if present,
-    else 1-D periodic chain; jx/jz from config."""
+def build_hamiltonian(config: Config):
+    """Hamiltonian-family dispatch + bond resolution.
+
+    Bonds mirror the reference (run_training.py:103-109): J-file if
+    present, else the lattice implied by the config.  Families:
+    'heisenberg' (the reference's only operator) and 'ising'
+    (transverse-field Ising, ops/ising.py).  Also validates move-set
+    ergodicity: Heisenberg sampling must conserve Sz ('exchange'), the
+    TFIM must not ('flip') — a mismatched move set silently samples the
+    wrong state space, so it is an error, not a warning.
+    """
     j_file = config.j_file_path
     if not j_file and config.checkpoint_dir:
         candidate = os.path.join(config.checkpoint_dir, 'J.txt')
@@ -40,10 +48,33 @@ def build_hamiltonian(config: Config) -> HeisenbergHamiltonian:
         bonds, couplings = lattice.load_bonds_and_couplings(j_file)
     else:
         bonds, couplings = lattice.bonds_and_couplings_for_config(config)
-    return HeisenbergHamiltonian(
-        bonds, config.heisenberg_jx, config.heisenberg_jz,
-        sample_chunk=getattr(config, 'energy_chunk_samples', 0),
-        couplings=couplings)
+
+    family = getattr(config, 'hamiltonian_type', 'heisenberg') or 'heisenberg'
+    move = getattr(config, 'mc_move_type', 'exchange') or 'exchange'
+    if family == 'heisenberg':
+        if move != 'exchange':
+            raise ValueError(
+                "hamiltonian_type='heisenberg' requires "
+                "mc_move_type='exchange': single-spin flips leave the "
+                f'Sz sector the Heisenberg ground state lives in (got '
+                f'{move!r})')
+        return HeisenbergHamiltonian(
+            bonds, config.heisenberg_jx, config.heisenberg_jz,
+            sample_chunk=getattr(config, 'energy_chunk_samples', 0),
+            couplings=couplings)
+    if family == 'ising':
+        if move != 'flip':
+            raise ValueError(
+                "hamiltonian_type='ising' requires mc_move_type='flip': "
+                'the TFIM does not conserve Sz, so the Sz-conserving '
+                f'exchange move is non-ergodic for it (got {move!r})')
+        from cgs_vmc_tpu.ops.ising import TransverseFieldIsingHamiltonian
+        return TransverseFieldIsingHamiltonian(
+            bonds, h_x=config.ising_h, j_zz=config.ising_j,
+            sample_chunk=getattr(config, 'energy_chunk_samples', 0),
+            couplings=couplings)
+    raise ValueError(f'Unknown hamiltonian_type {family!r}; '
+                     "known: ['heisenberg', 'ising']")
 
 
 def _make_epoch_fn(optimizer, state: TrainState, config: Config):

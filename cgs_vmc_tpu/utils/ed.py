@@ -91,6 +91,51 @@ def ground_state(
     return float(vals[0]), vecs[:, 0]
 
 
+def ising_matrix(
+    n_sites: int,
+    bonds: np.ndarray,
+    h_x: float = 1.0,
+    j_zz: float = 1.0,
+    couplings: np.ndarray | None = None,
+) -> np.ndarray:
+    """Dense transverse-field Ising Hamiltonian over the FULL 2^N space.
+
+    H = -J sum_bonds sz_i sz_j - h sum_i sx_i (Pauli convention, matching
+    ops/ising.py).  Basis ordering matches `basis.enumerate_full_basis`:
+    row index r holds spin +1 at site k iff bit k of r is set.  Practical
+    to n_sites ≈ 14 dense.
+    """
+    dim = 2 ** n_sites
+    bonds = np.asarray(bonds)
+    if couplings is None:
+        couplings = np.ones(bonds.shape[0], dtype=np.float64)
+    couplings = np.asarray(couplings, np.float64).reshape(-1)
+
+    r = np.arange(dim, dtype=np.int64)
+    spins = 2.0 * ((r[:, None] >> np.arange(n_sites)[None, :]) & 1) - 1.0
+    mat = np.zeros((dim, dim), dtype=np.float64)
+    diag = np.zeros(dim, dtype=np.float64)
+    for b, (i, j) in enumerate(bonds):
+        diag += -j_zz * couplings[b] * spins[:, i] * spins[:, j]
+    mat[r, r] = diag
+    for k in range(n_sites):
+        mat[r, r ^ (1 << k)] += -h_x
+    return mat
+
+
+def ising_ground_state(
+    n_sites: int,
+    bonds: np.ndarray,
+    h_x: float = 1.0,
+    j_zz: float = 1.0,
+    couplings: np.ndarray | None = None,
+) -> tuple[float, np.ndarray]:
+    """Exact TFIM ground state (energy, full-space vector)."""
+    mat = ising_matrix(n_sites, bonds, h_x, j_zz, couplings)
+    vals, vecs = np.linalg.eigh(mat)
+    return float(vals[0]), vecs[:, 0]
+
+
 def rayleigh_quotient(
     vector: np.ndarray,
     n_sites: int,
