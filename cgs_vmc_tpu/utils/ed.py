@@ -97,26 +97,38 @@ def ising_matrix(
     h_x: float = 1.0,
     j_zz: float = 1.0,
     couplings: np.ndarray | None = None,
-) -> np.ndarray:
-    """Dense transverse-field Ising Hamiltonian over the FULL 2^N space.
+    sparse: bool | None = None,
+):
+    """Transverse-field Ising Hamiltonian over the FULL 2^N space.
 
     H = -J sum_bonds sz_i sz_j - h sum_i sx_i (Pauli convention, matching
     ops/ising.py).  Basis ordering matches `basis.enumerate_full_basis`:
-    row index r holds spin +1 at site k iff bit k of r is set.  Practical
-    to n_sites ≈ 14 dense.
+    row index r holds spin +1 at site k iff bit k of r is set.  Returns a
+    scipy CSR matrix when `sparse` (default for dim > 4096, reaching 4x4
+    and beyond), else a dense float64 array.
     """
     dim = 2 ** n_sites
+    if sparse is None:
+        sparse = dim > 4096
     bonds = np.asarray(bonds)
     if couplings is None:
         couplings = np.ones(bonds.shape[0], dtype=np.float64)
     couplings = np.asarray(couplings, np.float64).reshape(-1)
 
     r = np.arange(dim, dtype=np.int64)
-    spins = 2.0 * ((r[:, None] >> np.arange(n_sites)[None, :]) & 1) - 1.0
-    mat = np.zeros((dim, dim), dtype=np.float64)
     diag = np.zeros(dim, dtype=np.float64)
     for b, (i, j) in enumerate(bonds):
-        diag += -j_zz * couplings[b] * spins[:, i] * spins[:, j]
+        s_i = 2.0 * ((r >> int(i)) & 1) - 1.0
+        s_j = 2.0 * ((r >> int(j)) & 1) - 1.0
+        diag += -j_zz * couplings[b] * s_i * s_j
+    if sparse:
+        import scipy.sparse as sp
+        rows = np.tile(r, n_sites)
+        cols = np.concatenate([r ^ (1 << k) for k in range(n_sites)])
+        offdiag = sp.csr_matrix(
+            (np.full(dim * n_sites, -h_x), (rows, cols)), shape=(dim, dim))
+        return offdiag + sp.diags(diag)
+    mat = np.zeros((dim, dim), dtype=np.float64)
     mat[r, r] = diag
     for k in range(n_sites):
         mat[r, r ^ (1 << k)] += -h_x
@@ -132,6 +144,10 @@ def ising_ground_state(
 ) -> tuple[float, np.ndarray]:
     """Exact TFIM ground state (energy, full-space vector)."""
     mat = ising_matrix(n_sites, bonds, h_x, j_zz, couplings)
+    if hasattr(mat, 'toarray'):
+        import scipy.sparse.linalg as spla
+        vals, vecs = spla.eigsh(mat, k=1, which='SA')
+        return float(vals[0]), vecs[:, 0]
     vals, vecs = np.linalg.eigh(mat)
     return float(vals[0]), vecs[:, 0]
 

@@ -47,6 +47,29 @@ def test_local_value_matches_dense_matvec():
     np.testing.assert_allclose(e_loc, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_local_value_2d_matches_sparse_matvec():
+    """4x4 square TFIM near criticality (h/J ~ 3): E_loc against the
+    sparse full-space matrix — the 2-D + sparse-oracle path."""
+    n = 16
+    bonds = lattice.square_lattice_bonds(4, 4)
+    ham = TransverseFieldIsingHamiltonian(bonds, h_x=3.0, j_zz=1.0)
+    cfg = _rbm_config(n, fc_layer_size=8, size_x=4, size_y=4)
+    wf = build_wavefunction(cfg)
+    params = wf.init(jax.random.key(8))
+
+    states = jnp.asarray(basis.enumerate_full_basis(n))
+    amp = wf.apply(params, states)
+    psi = np.asarray(amp.sign * jnp.exp(amp.log - jnp.max(amp.log)),
+                     np.float64)
+    h_mat = ed.ising_matrix(n, bonds, h_x=3.0)   # CSR, dim 65536
+    h_psi = h_mat @ psi
+
+    idx = np.random.default_rng(0).choice(len(psi), 64, replace=False)
+    expected = h_psi[idx] / psi[idx]
+    e_loc = np.asarray(ham.local_value(wf, params, states[idx]), np.float64)
+    np.testing.assert_allclose(e_loc, expected, rtol=1e-4, atol=1e-4)
+
+
 def test_local_value_chunked_matches_unchunked():
     n = 6
     bonds = lattice.chain_bonds(n)
