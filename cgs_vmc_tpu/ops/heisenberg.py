@@ -102,20 +102,35 @@ class LocalOperator(Operator):
             batch = configs.shape[0]
             n_chunks = -(-batch // chunk)
             pad = n_chunks * chunk - batch
-            if pad:
-                filler = jnp.broadcast_to(
-                    configs[:1], (pad, configs.shape[-1]))
-                padded = jnp.concatenate([configs, filler], axis=0)
-            else:
-                padded = configs
-            slices = padded.reshape(n_chunks, chunk, configs.shape[-1])
 
-            def one_chunk(c):
-                a = wf.apply(params, c)
+            def pad_chunks(x):
+                if pad:
+                    filler = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+                    x = jnp.concatenate([x, filler], axis=0)
+                return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+            slices = pad_chunks(configs)
+            if amp is None:
+                def one_chunk(c):
+                    a = wf.apply(params, c)
+                    return self.diagonal(c) + self._offdiag_ratio_sum(
+                        wf, params, c, a)
+
+                return jax.lax.map(one_chunk, slices).reshape(-1)[:batch]
+
+            # Thread the caller's denominator amplitudes through instead of
+            # recomputing psi(R) per chunk (the epoch already evaluated
+            # them for the sampler cache / SR residuals).
+            amp_chunks = (pad_chunks(amp.sign), pad_chunks(amp.log))
+
+            def one_chunk_amp(args):
+                c, sign, log = args
                 return self.diagonal(c) + self._offdiag_ratio_sum(
-                    wf, params, c, a)
+                    wf, params, c, LogAmp(sign, log))
 
-            return jax.lax.map(one_chunk, slices).reshape(-1)[:batch]
+            return jax.lax.map(
+                one_chunk_amp,
+                (slices, amp_chunks[0], amp_chunks[1])).reshape(-1)[:batch]
         if amp is None:
             amp = wf.apply(params, configs)
         return self.diagonal(configs) + self._offdiag_ratio_sum(

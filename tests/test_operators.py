@@ -149,6 +149,23 @@ def test_chunked_local_value_matches_unchunked():
                                rtol=1e-6)
 
 
+def test_chunked_local_value_threads_provided_amp():
+    """With a precomputed denominator amp, the chunked path must slice it
+    per chunk (not recompute) and still match the unchunked value — on a
+    non-divisible batch so amp padding is exercised too."""
+    vec = _random_sector_vector(3)
+    from cgs_vmc_tpu.models import FullVector as FV
+    wf = FV.for_sector(N, vec)
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))[:50]  # 50 % 16 != 0
+    amp = wf.apply(params, states)
+    full = HeisenbergHamiltonian(BONDS).local_value(wf, params, states, amp)
+    chunked = HeisenbergHamiltonian(BONDS, sample_chunk=16).local_value(
+        wf, params, states, amp)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6)
+
+
 def test_chunked_local_value_non_divisible_batch():
     """batch % sample_chunk != 0 must pad-and-chunk, not silently fall back
     to the full fan-out (round-1 ADVICE: silent chunking skip)."""
