@@ -128,6 +128,8 @@ class Config:
     # Stochastic reconfiguration (new optimizer; absent from reference).
     sr_diag_shift: float = 1e-3
     # 'dense' (sample-space minSR, Jacobian all-gathered, Cholesky) |
+    # 'dense_cg' (same assembled [M, M] system, solved by CG — sidesteps
+    # the serial blocked Cholesky; accuracy set by sr_cg_tol) |
     # 'sample_cg' (same system, Jacobian kept sharded, CG — O(M_local·P)
     # memory for multi-chip scale) | 'cg' (parameter-space matrix-free).
     sr_solver: str = 'dense'

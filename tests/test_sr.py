@@ -88,6 +88,43 @@ def test_sample_cg_matches_dense_single_device():
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_dense_cg_matches_dense_cholesky():
+    """'dense_cg' solves the same assembled [M, M] system as 'dense' — the
+    natural-gradient direction must agree to CG tolerance."""
+    config, wf, opt = _setup('dense')
+    params = wf.init(jax.random.key(20))
+    configs = basis.random_configurations(jax.random.key(21), N, 64)
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    e_mean = jnp.mean(e_loc)
+    delta_chol, grad_chol, _ = opt._dense_solve(
+        configs, params, e_loc, e_mean, None, use_cg=False)
+    delta_cg, grad_cg, _ = opt._dense_solve(
+        configs, params, e_loc, e_mean, None, use_cg=True)
+    for a, b in zip(jax.tree.leaves(delta_cg), jax.tree.leaves(delta_chol)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(grad_cg), jax.tree.leaves(grad_chol)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_dense_cg_epoch_descends():
+    """End-to-end: an SR epoch with sr_solver='dense_cg' runs and lowers
+    the energy on the N=8 chain."""
+    config, wf, opt = _setup('dense_cg')
+    from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
+    opt = GROUND_STATE_OPTIMIZERS['SR'](
+        wf, HeisenbergHamiltonian(BONDS, -1.0, 1.0),
+        config.replace(learning_rates=[0.05], learning_rate_stops=[],
+                       optimizer='gradient'))
+    state = opt.init_state(jax.random.key(2))
+    epoch_fn = jax.jit(opt.epoch)
+    state, m0 = epoch_fn(state)
+    for _ in range(30):
+        state, m = epoch_fn(state)
+    assert float(m['energy']) < float(m0['energy'])
+
+
 def test_jacobian_chunking_is_exact():
     """sr_jacobian_chunk changes memory, not the answer."""
     config, wf, opt = _setup('dense')
