@@ -166,6 +166,13 @@ class Config:
     # evaluate them in one batched forward pass (0 = single-try).  Pays off
     # for expensive ansatzes where per-step latency dominates.
     mtm_candidates: int = 0
+    # Parallel tempering (sampler/tempering.py): run this many replicas
+    # per chain at exponents 1 .. pt_beta_min (geometric ladder) sampling
+    # |psi|^(2*beta), with neighbour swaps after every sweep.  0/1 = off.
+    # Replicas ride the batch axis (one fused forward per step); only the
+    # beta=1 replica's samples feed the estimators.
+    pt_replicas: int = 0
+    pt_beta_min: float = 0.4
     # Checkpointing.
     checkpoint_frequency: int = 1
     max_checkpoints_to_keep: int = 5

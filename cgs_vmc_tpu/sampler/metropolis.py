@@ -124,20 +124,26 @@ PROPOSALS = {
 
 
 def mc_step(wf: Wavefunction, params: Params, state: SamplerState,
-            move: str = 'exchange') -> SamplerState:
+            move: str = 'exchange', beta=None) -> SamplerState:
     """One Metropolis move on every chain.
 
     Acceptance: |psi'|/|psi| > sqrt(u) ⇔ 2*(log' - log) > log(u), the
     |psi|²-sampling rule of the reference (graph_builders.py:75-79) —
     valid for every move in PROPOSALS (all are symmetric proposals).
+
+    beta: optional per-chain tempering exponents — chains then sample
+    |psi|^(2*beta) instead of |psi|² (parallel tempering,
+    sampler/tempering.py; beta=1 everywhere is the physical default).
     """
     proposed, accept_u, new_keys = PROPOSALS[move](state.keys,
                                                    state.configs)
     amp_new = wf.apply(params, proposed)
     # .real: |psi| = exp(Re log) — no-op for real ansatzes, and the phase
     # of a complex-log ansatz correctly never enters |psi|² sampling.
-    accept = (2.0 * jnp.real(amp_new.log - state.log_amp)
-              > jnp.log(accept_u))
+    delta_log = jnp.real(amp_new.log - state.log_amp)
+    if beta is not None:
+        delta_log = beta * delta_log
+    accept = 2.0 * delta_log > jnp.log(accept_u)
     return SamplerState(
         configs=jnp.where(accept[:, None], proposed, state.configs),
         log_amp=jnp.where(accept, amp_new.log, state.log_amp),
@@ -149,12 +155,14 @@ def mc_step(wf: Wavefunction, params: Params, state: SamplerState,
 
 
 def run_steps(wf: Wavefunction, params: Params, state: SamplerState,
-              num_steps: int, move: str = 'exchange') -> SamplerState:
+              num_steps: int, move: str = 'exchange',
+              beta=None) -> SamplerState:
     """`num_steps` sequential moves inside one compiled loop."""
     if num_steps <= 0:
         return state
     return lax.fori_loop(
-        0, num_steps, lambda _, s: mc_step(wf, params, s, move), state)
+        0, num_steps, lambda _, s: mc_step(wf, params, s, move, beta),
+        state)
 
 
 def run_sweeps(wf: Wavefunction, params: Params, state: SamplerState,
@@ -173,7 +181,16 @@ def move_type(config) -> str:
 
 def init_sampler_for(key: jax.Array, wf: Wavefunction, params: Params,
                      config, n_chains: int | None = None) -> SamplerState:
-    """Config-aware init: full-space chains when the move is 'flip'."""
+    """Config-aware init: full-space chains when the move is 'flip';
+    a parallel-tempering ladder when config.pt_replicas >= 2."""
+    n_replicas = getattr(config, 'pt_replicas', 0)
+    if n_replicas and n_replicas >= 2:
+        from cgs_vmc_tpu.sampler import tempering
+        return tempering.init_pt_sampler(
+            key, wf, params, config.num_sites,
+            n_chains or config.batch_size, n_replicas,
+            getattr(config, 'pt_beta_min', 0.4),
+            full_space=move_type(config) == 'flip')
     return init_sampler(key, wf, params, config.num_sites,
                         n_chains or config.batch_size,
                         full_space=move_type(config) == 'flip')
@@ -188,6 +205,9 @@ def refresh_amplitudes(wf: Wavefunction, params: Params,
     against a stale cache are not ratios of the current wavefunction and
     silently freeze or randomize the chains.
     """
+    from cgs_vmc_tpu.sampler import tempering
+    if isinstance(state, tempering.PTSamplerState):
+        return tempering.refresh_amplitudes(wf, params, state)
     amp = wf.apply(params, state.configs)
     return state._replace(log_amp=amp.log, sign=amp.sign)
 
@@ -211,6 +231,9 @@ def advance_chain_keys(keys: jax.Array, k0_next: jax.Array) -> jax.Array:
 
 
 def reset_stats(state: SamplerState) -> SamplerState:
+    from cgs_vmc_tpu.sampler import tempering
+    if isinstance(state, tempering.PTSamplerState):
+        return tempering.reset_stats(state)
     return state._replace(
         num_accepted=jnp.zeros_like(state.num_accepted),
         num_proposed=jnp.zeros_like(state.num_proposed),

@@ -114,6 +114,26 @@ def _exchange_only(config) -> bool:
 # Built-in fast paths (the round-2 dispatch order, see module docstring).
 
 def _register_builtins() -> None:
+    def pt_supports(wf, config):
+        # Parallel tempering replaces the whole sweep discipline (replica
+        # ladder + swap rounds), so the explicit knob outranks every
+        # single-temperature path; it composes with either move type.
+        n = getattr(config, 'pt_replicas', 0)
+        return bool(n and n >= 2)
+
+    def pt_make(wf, config):
+        from cgs_vmc_tpu.sampler import metropolis as mp
+        from cgs_vmc_tpu.sampler import tempering
+        move = mp.move_type(config)
+
+        def sweeps(params, state, num_sweeps):
+            return tempering.run_sweeps(wf, params, state, num_sweeps,
+                                        move=move)
+        return sweeps
+
+    register_fast_path('tempering', priority=150,
+                       supports=pt_supports, make=pt_make)
+
     def mtm_supports(wf, config):
         if not _exchange_only(config):
             return False
