@@ -430,6 +430,10 @@ class DualSamplingSWO(_SWOBase):
     def __init__(self, wf: Wavefunction, target_wf: Wavefunction, config):
         super().__init__(wf, config)
         self.target_wf = target_wf
+        # The target chains get their own registry-resolved sweeps (not a
+        # raw metropolis.run_sweeps): parallel-tempering sampler states
+        # must be driven by their matching sweep discipline.
+        self.target_sweeps = common.make_sweeps_fn(target_wf, config)
 
     def init_state(self, key: jax.Array, target_params: Params,
                    n_local_chains: Optional[int] = None) -> TrainState:
@@ -460,8 +464,8 @@ class DualSamplingSWO(_SWOBase):
             params, opt_state, smp, t_smp = carry
             smp = metropolis.refresh_amplitudes(wf, params, smp)
             smp = self.sweeps(params, smp, cfg.num_monte_carlo_sweeps)
-            t_smp = metropolis.run_sweeps(target_wf, target_params, t_smp,
-                                          cfg.num_monte_carlo_sweeps)
+            t_smp = self.target_sweeps(target_params, t_smp,
+                                       cfg.num_monte_carlo_sweeps)
             configs = jnp.concatenate([smp.configs, t_smp.configs], axis=0)
             amp_t = target_wf.apply(target_params, configs)
             psi_target = amp_t.sign * jnp.exp(amp_t.log + half_log2n)

@@ -223,6 +223,27 @@ def test_sr_epoch_with_tempering_descends():
     assert 0.0 < float(m['acceptance_rate']) <= 1.0
 
 
+def test_dual_sampling_swo_with_tempering():
+    """DualSamplingSWO drives BOTH sampler states through the registry,
+    so its frozen-target chains keep their PT ladder intact."""
+    from cgs_vmc_tpu.optim import SUPERVISED_OPTIMIZERS
+    cfg = _rbm_config(
+        batch_size=64, num_batches_per_epoch=2, pt_replicas=2,
+        num_equilibration_sweeps=1, num_monte_carlo_sweeps=1,
+        learning_rates=[0.01], learning_rate_stops=[], optimizer='adam')
+    wf = build_wavefunction(cfg)
+    target_wf = build_wavefunction(cfg)
+    target_params = target_wf.init(jax.random.key(11))
+    opt = SUPERVISED_OPTIMIZERS['DualSamplingSWO'](wf, target_wf, cfg)
+    state = opt.init_state(jax.random.key(12), target_params)
+    assert isinstance(state.extra['target_sampler'],
+                      tempering.PTSamplerState)
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert np.isfinite(float(metrics['loss']))
+    assert isinstance(state.extra['target_sampler'],
+                      tempering.PTSamplerState)
+
+
 def test_pt_state_shards_over_chain_mesh():
     """All PTSamplerState leaves are chain-leading, so the canonical
     mesh sharding (every sampler leaf on its leading axis) applies."""
