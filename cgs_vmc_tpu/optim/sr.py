@@ -294,24 +294,24 @@ class StochasticReconfiguration:
             diag_scale = jnp.mean(jnp.diagonal(t_matrix)) + 1e-12
             t_matrix = t_matrix + (cfg.sr_diag_shift * diag_scale) * jnp.eye(
                 n_rows, dtype=t_matrix.dtype)
+            rhs = eps / m_global
             if use_cg:
-                y = _spd_cg_solve(t_matrix, eps / m_global,
+                y = _spd_cg_solve(t_matrix, rhs,
                                   cfg.sr_cg_tol, cfg.sr_cg_maxiter)
             else:
-                y = jax.scipy.linalg.solve(t_matrix, eps / m_global,
+                y = jax.scipy.linalg.solve(t_matrix, rhs,
                                            assume_a='pos')  # [M]
-            delta_flat = jac.T @ y                          # [P]
-            grad_flat = jac.T @ (eps / m_global)
+            # One back-GEMM for δ = Jᵀy, g = Jᵀ(ε̄/M), AND the
+            # parameter-space monitoring residual: with T the shifted
+            # sample-space matrix, Sδ + ε_eff δ − g = Jᵀ(Ty − ε̄/M), so
+            # stacking the three right-hand vectors reads the [M, P]
+            # Jacobian once instead of three times.
+            r_sample = t_matrix @ y - rhs
+            combo = jac.T @ jnp.stack([y, rhs, r_sample], axis=1)  # [P, 3]
 
-        delta = unravel(delta_flat)
-        grad_e = unravel(grad_flat)
-        # Residual of the parameter-space system, for monitoring:
-        # S δ + ε_eff δ − g with S = ŌᵀŌ/M.
-        with jax.default_matmul_precision(cfg.sr_matmul_precision):
-            s_delta = jac.T @ (jac @ delta_flat) / m_global
-        residual_norm = jnp.linalg.norm(
-            s_delta + (cfg.sr_diag_shift * diag_scale) * delta_flat
-            - grad_flat)
+        delta = unravel(combo[:, 0])
+        grad_e = unravel(combo[:, 1])
+        residual_norm = jnp.linalg.norm(combo[:, 2])
         return delta, grad_e, residual_norm
 
     def _sample_cg_solve(self, all_configs, params, e_loc, e_mean,
