@@ -149,6 +149,12 @@ class Config:
     sr_matmul_precision: str = 'highest'
     # Mesh: number of devices to shard Markov chains over (1 = single chip).
     num_devices: int = 1
+    # Compile this many epochs into ONE device program (lax.scan) per
+    # dispatch.  Amortizes per-dispatch host latency (~25-30 ms on
+    # relay-attached transports) at the cost of metrics/checkpoint
+    # granularity staying per-epoch but host visibility arriving every
+    # k epochs.  1 = one program per epoch (reference-like behavior).
+    epochs_per_call: int = 1
     # Evaluation as SEPARATE small compiled programs (sweeps / local value)
     # driven from Python instead of one monolithic scan — required on
     # constrained TPU transports for big symmetrized fan-outs (see
