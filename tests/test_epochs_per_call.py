@@ -68,6 +68,21 @@ def test_scanned_epochs_match_per_epoch_dispatch(tmp_path):
 
 
 @pytest.mark.slow
+def test_scanned_epochs_on_mesh(tmp_path):
+    # The scan wrapper must compose with the shard_map epoch (metrics
+    # gain a leading [k] axis inside the replicated out_specs).
+    cfg = _config(tmp_path, 'mesh', epochs_per_call=2, num_epochs=4,
+                  num_devices=8, batch_size=16 * 8)
+    train(cfg)
+    rows = _metric_rows(cfg.checkpoint_dir)
+    assert len(rows) == 4
+    assert [r['epoch'] for r in rows] == [1, 2, 3, 4]
+    energies = [r['energy'] for r in rows]
+    assert np.all(np.isfinite(energies))
+    assert all(0 < r['acceptance_rate'] <= 1 for r in rows)
+
+
+@pytest.mark.slow
 def test_scanned_epochs_checkpoint_and_resume(tmp_path):
     cfg = _config(tmp_path, 'ck', epochs_per_call=2, num_epochs=6,
                   checkpoint_frequency=2)
