@@ -120,6 +120,10 @@ class Config:
     # Next-nearest-neighbour coupling J2/J1 (frustrated J1-J2 model on the
     # chain or square lattice; 0 = plain nearest-neighbour Heisenberg).
     heisenberg_j2: float = 0.0
+    # Marshall-gauge the J1-J2 lattice: off-diagonal sign flipped on J1
+    # bonds only (lattice.j1j2_marshall_gauged) — spectrum-preserving,
+    # makes the ground state near-positive at moderate J2/J1.
+    heisenberg_marshall_gauge: bool = False
     j_file_path: str = ''        # bonds file: 'i j [J_ij]' rows
                                  # (reference: J.txt in ckpt dir)
     # Chunk the connected-config local-energy fan-out over samples (0 = off);

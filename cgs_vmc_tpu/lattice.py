@@ -162,6 +162,31 @@ def bonds_and_couplings_for_config(config
     return chain_bonds(config.num_sites), None
 
 
+def j1j2_marshall_gauged(config) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bonds, couplings, offdiag_couplings) for the Marshall-gauged
+    J1–J2 lattice implied by the config (chain or square by geometry).
+
+    Rotating every sublattice-A spin by pi about z flips the exchange
+    sign on J1 bonds (they connect the two sublattices) and leaves J2
+    bonds (same sublattice) unchanged: diagonal couplings (J1, J2),
+    off-diagonal (−J1, +J2) with a global ``heisenberg_jx=+1``.  The
+    spectrum is gauge-invariant (tests/test_j1j2.py) but the ground
+    state is near-positive at small-to-moderate J2/J1, which positive or
+    phase-augmented ansatzes represent far more easily — the J1–J2
+    generalization of the reference's bipartite jx=−1 Marshall trick
+    (cgs_vmc/run_training.py:118: MARSHALL_SIGN => J=-1).
+    """
+    is_square = (config.size_x > 1 and config.size_y > 1
+                 and config.size_x * config.size_y == config.num_sites)
+    j2 = getattr(config, 'heisenberg_j2', 0.0)
+    if is_square:
+        bonds, mask = j1j2_square_bonds(config.size_x, config.size_y)
+    else:
+        bonds, mask = j1j2_chain_bonds(config.num_sites)
+    j1 = 1.0 - mask
+    return bonds, j1 + j2 * mask, -j1 + j2 * mask
+
+
 def displacement_pairs(num_sites: int, size_x: int, size_y: int,
                        dx: int, dy: int = 0) -> np.ndarray:
     """All (i, i+Δ) site pairs at lattice displacement Δ (periodic).

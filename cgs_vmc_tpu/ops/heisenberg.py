@@ -157,11 +157,24 @@ class HeisenbergHamiltonian(LocalOperator):
 
     def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0,
                  sample_chunk: int = 0,
-                 couplings: Optional[np.ndarray] = None):
+                 couplings: Optional[np.ndarray] = None,
+                 offdiag_couplings: Optional[np.ndarray] = None):
         """couplings: optional [n_bonds] per-bond factor J_b multiplying
         both the diagonal and off-diagonal matrix elements (J1–J2 and
         arbitrary weighted lattices; the reference's J.txt carried bare
-        bond indices only, cgs_vmc/run_training.py:105-107)."""
+        bond indices only, cgs_vmc/run_training.py:105-107).
+
+        offdiag_couplings: optional [n_bonds] factor that REPLACES
+        ``couplings`` in the off-diagonal (exchange) terms only, leaving
+        the diagonal Sz·Sz couplings as given.  This expresses
+        sublattice-gauged Hamiltonians whose off-diagonal signs differ
+        per bond — e.g. the Marshall-gauged J1–J2 model, where rotating
+        sublattice A by pi about z flips the exchange sign on
+        (bipartite-connecting) J1 bonds but not on (same-sublattice) J2
+        bonds: diagonal (J1, J2), off-diagonal (−J1, +J2).  The gauge is
+        a unitary, so the spectrum is identical (tests/test_j1j2.py) but
+        the ground state is far closer to positive, which positive or
+        phase-augmented ansatzes represent much more easily."""
         bonds = np.asarray(bonds, dtype=np.int32)
         if bonds.ndim != 2 or bonds.shape[1] != 2:
             raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
@@ -170,15 +183,20 @@ class HeisenbergHamiltonian(LocalOperator):
         self.j_x = float(j_x)
         self.j_z = float(j_z)
         self.sample_chunk = int(sample_chunk)
-        if couplings is None:
-            self.couplings = None
-        else:
-            couplings = np.asarray(couplings, np.float32).reshape(-1)
-            if couplings.shape[0] != self.n_bonds:
+
+        def _check(arr, name):
+            if arr is None:
+                return None
+            arr = np.asarray(arr, np.float32).reshape(-1)
+            if arr.shape[0] != self.n_bonds:
                 raise ValueError(
-                    f'couplings must be [n_bonds={self.n_bonds}], '
-                    f'got {couplings.shape}')
-            self.couplings = jnp.asarray(couplings)
+                    f'{name} must be [n_bonds={self.n_bonds}], '
+                    f'got {arr.shape}')
+            return jnp.asarray(arr)
+
+        self.couplings = _check(couplings, 'couplings')
+        self.offdiag_couplings = _check(offdiag_couplings,
+                                        'offdiag_couplings')
 
     # ------------------------------------------------------------------
 
@@ -211,8 +229,10 @@ class HeisenbergHamiltonian(LocalOperator):
             + (s_i - s_j)[..., None] * onehot_j[None]
         flipped = configs[:, None, :] + delta
         weights = 0.5 * self.j_x * (s_i * s_j < 0).astype(configs.dtype)
-        if self.couplings is not None:
-            weights = weights * self.couplings
+        offdiag = (self.offdiag_couplings
+                   if self.offdiag_couplings is not None else self.couplings)
+        if offdiag is not None:
+            weights = weights * offdiag
         return flipped, weights
 
 

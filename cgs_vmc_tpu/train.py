@@ -58,10 +58,19 @@ def build_hamiltonian(config: Config):
                 "mc_move_type='exchange': single-spin flips leave the "
                 f'Sz sector the Heisenberg ground state lives in (got '
                 f'{move!r})')
+        offdiag = None
+        if getattr(config, 'heisenberg_marshall_gauge', False):
+            if j_file or not getattr(config, 'heisenberg_j2', 0.0):
+                raise ValueError(
+                    'heisenberg_marshall_gauge applies to the built-in '
+                    'J1-J2 lattices (heisenberg_j2 != 0, no j_file_path); '
+                    'for pure nearest-neighbour bipartite lattices use '
+                    'heisenberg_jx=-1 as the reference did')
+            bonds, couplings, offdiag = lattice.j1j2_marshall_gauged(config)
         return HeisenbergHamiltonian(
             bonds, config.heisenberg_jx, config.heisenberg_jz,
             sample_chunk=getattr(config, 'energy_chunk_samples', 0),
-            couplings=couplings)
+            couplings=couplings, offdiag_couplings=offdiag)
     if family == 'ising':
         if move != 'flip':
             raise ValueError(

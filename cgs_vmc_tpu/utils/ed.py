@@ -25,8 +25,14 @@ def heisenberg_matrix(
     n_down: int | None = None,
     sparse: bool | None = None,
     couplings: np.ndarray | None = None,
+    offdiag_couplings: np.ndarray | None = None,
 ):
     """Builds the sector Hamiltonian over `enumerate_sz_basis` ordering.
+
+    offdiag_couplings, when given, replaces `couplings` in the exchange
+    (off-diagonal) terms only — the ED mirror of
+    HeisenbergHamiltonian(offdiag_couplings=...) for sublattice-gauged
+    models (Marshall-gauged J1–J2).
 
     Returns a scipy CSR matrix when `sparse` (default for dim > 4096),
     else a dense float64 array.
@@ -40,6 +46,9 @@ def heisenberg_matrix(
     if couplings is None:
         couplings = np.ones(bonds.shape[0], dtype=np.float64)
     couplings = np.asarray(couplings, np.float64).reshape(-1)
+    if offdiag_couplings is None:
+        offdiag_couplings = couplings
+    offdiag_couplings = np.asarray(offdiag_couplings, np.float64).reshape(-1)
 
     rows, cols, vals = [], [], []
     diag = np.zeros(dim, dtype=np.float64)
@@ -54,7 +63,7 @@ def heisenberg_matrix(
                 c = index[flipped.tobytes()]
                 rows.append(r)
                 cols.append(c)
-                vals.append(0.5 * j_x * couplings[b])
+                vals.append(0.5 * j_x * offdiag_couplings[b])
     if sparse:
         import scipy.sparse as sp
         mat = sp.csr_matrix((vals, (rows, cols)), shape=(dim, dim))
@@ -78,10 +87,12 @@ def ground_state(
     j_z: float = 1.0,
     n_down: int | None = None,
     couplings: np.ndarray | None = None,
+    offdiag_couplings: np.ndarray | None = None,
 ) -> tuple[float, np.ndarray]:
     """Exact ground-state (energy, sector vector)."""
     mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down,
-                            couplings=couplings)
+                            couplings=couplings,
+                            offdiag_couplings=offdiag_couplings)
     if hasattr(mat, 'toarray') and mat.shape[0] > 4096:
         import scipy.sparse.linalg as spla
         vals, vecs = spla.eigsh(mat, k=1, which='SA')

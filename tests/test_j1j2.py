@@ -89,6 +89,77 @@ def test_j_file_coupling_column(tmp_path):
     assert couplings2 is None
 
 
+def test_marshall_gauge_spectrum_invariant():
+    """The sublattice-A pi-rotation is a unitary: the gauged Hamiltonian
+    (off-diagonal −J1/+J2, diagonal +J1/+J2) must have the identical
+    spectrum to the bare J1–J2 model."""
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    for j2 in (0.2, 0.4, 0.55):
+        diag = (1.0 - mask) + j2 * mask
+        off = -(1.0 - mask) + j2 * mask
+        bare = ed.heisenberg_matrix(N, bonds, couplings=diag)
+        gauged = ed.heisenberg_matrix(N, bonds, couplings=diag,
+                                      offdiag_couplings=off)
+        to_d = lambda m: m.toarray() if hasattr(m, 'toarray') else m
+        ev_bare = np.linalg.eigvalsh(to_d(bare))
+        ev_gauged = np.linalg.eigvalsh(to_d(gauged))
+        np.testing.assert_allclose(ev_gauged, ev_bare, atol=1e-10)
+
+
+def test_gauged_local_value_matches_dense_matrix():
+    """local_value with offdiag_couplings equals (H_gauged v)/v per basis
+    state — the operator kernel and the ED oracle implement the same
+    gauged matrix."""
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    j2 = 0.45
+    diag = (1.0 - mask) + j2 * mask
+    off = -(1.0 - mask) + j2 * mask
+    mat = ed.heisenberg_matrix(N, bonds, couplings=diag,
+                               offdiag_couplings=off)
+    dense = mat.toarray() if hasattr(mat, 'toarray') else mat
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=dense.shape[0]) + 2.5
+    wf = FullVector.for_sector(N, v.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    states = jnp.asarray(basis.enumerate_sz_basis(N))
+
+    ham = HeisenbergHamiltonian(bonds, couplings=diag,
+                                offdiag_couplings=off)
+    e_local = np.asarray(ham.local_value(wf, params, states))
+    expected = (dense @ v) / v
+    np.testing.assert_allclose(e_local, expected, rtol=2e-4)
+
+
+def test_gauged_ground_state_near_positive():
+    """The point of the gauge: at moderate J2/J1 the gauged ground state
+    is (near-)positive, while the bare one has heavy sign structure."""
+    bonds, mask = lattice.j1j2_chain_bonds(N)
+    j2 = 0.3
+    diag = (1.0 - mask) + j2 * mask
+    off = -(1.0 - mask) + j2 * mask
+    _, v_bare = ed.ground_state(N, bonds, couplings=diag)
+    _, v_gauged = ed.ground_state(N, bonds, couplings=diag,
+                                  offdiag_couplings=off)
+    # Fraction of l2 weight carried by the dominant sign.
+    frac = lambda v: max((v[v > 0] ** 2).sum(), (v[v < 0] ** 2).sum())
+    assert frac(v_gauged) > 0.999
+    assert frac(v_bare) < 0.9
+
+
+def test_config_builds_gauged_hamiltonian():
+    config = Config(num_sites=N, heisenberg_j2=0.5,
+                    heisenberg_marshall_gauge=True)
+    ham = build_hamiltonian(config)
+    np.testing.assert_allclose(np.asarray(ham.couplings[:N]), 1.0)
+    np.testing.assert_allclose(np.asarray(ham.offdiag_couplings[:N]), -1.0)
+    np.testing.assert_allclose(np.asarray(ham.offdiag_couplings[N:]), 0.5)
+
+    import pytest
+    with pytest.raises(ValueError, match='marshall_gauge'):
+        build_hamiltonian(Config(num_sites=N, heisenberg_marshall_gauge=True))
+
+
 def test_j1j2_square_bonds():
     bonds, mask = lattice.j1j2_square_bonds(4, 4)
     # 4x4 periodic: 32 NN bonds + 32 diagonal bonds.
