@@ -159,6 +159,10 @@ class Config:
     # granularity staying per-epoch but host visibility arriving every
     # k epochs.  1 = one program per epoch (reference-like behavior).
     epochs_per_call: int = 1
+    # Per-sample Jacobian rows via batched GEMMs for (symmetrized) conv
+    # ansatzes (optim/fast_jacobian.py); falls back to vmap(grad) when
+    # the ansatz is unsupported.  Same numerics to f32 tolerance.
+    sr_fast_jacobian: bool = True
     # Evaluation as SEPARATE small compiled programs (sweeps / local value)
     # driven from Python instead of one monolithic scan — required on
     # constrained TPU transports for big symmetrized fan-outs (see

@@ -38,7 +38,7 @@ from jax import lax
 
 from cgs_vmc_tpu.models.base import Wavefunction
 from cgs_vmc_tpu.ops.heisenberg import Operator
-from cgs_vmc_tpu.optim import common
+from cgs_vmc_tpu.optim import common, fast_jacobian
 from cgs_vmc_tpu.optim.common import TrainState
 from cgs_vmc_tpu.sampler import metropolis
 
@@ -277,8 +277,16 @@ class StochasticReconfiguration:
             eps = jnp.concatenate([jnp.real(eps_c), jnp.imag(eps_c)])
             m_global = jac.shape[0] // 2
         else:
-            jac = center_and_gather(
-                jac_rows(single_log, all_configs))          # [M_local, P]
+            # MXU-native rows for (symmetrized) conv ansatzes: batched-GEMM
+            # per-sample weight grads instead of vmap(grad)'s grouped-conv
+            # lowering (optim/fast_jacobian.py; ~4x on the flagship).
+            fast = (fast_jacobian.rows_fn_for(wf)
+                    if getattr(cfg, 'sr_fast_jacobian', True) else None)
+            if fast is not None:
+                raw = fast(params, all_configs, cfg.sr_jacobian_chunk)
+            else:
+                raw = jac_rows(single_log, all_configs)
+            jac = center_and_gather(raw)                    # [M_local, P]
             eps = e_loc - e_mean                            # [M_local]
             if axis_name is not None:
                 eps = jax.lax.all_gather(eps, axis_name, axis=0, tiled=True)

@@ -22,7 +22,7 @@ from cgs_vmc_tpu.sampler import metropolis
 
 
 def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
-            reps=5, mat_prec='highest'):
+            reps=5, mat_prec='highest', use_cg=False, cg_tol=1e-5):
     cfg = Config(num_sites=36, size_x=6, size_y=6,
                  wavefunction_type='conv_2d', num_conv_layers=5,
                  num_conv_filters=32, kernel_size=3,
@@ -31,7 +31,9 @@ def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
                  num_equilibration_sweeps=10, num_monte_carlo_sweeps=2,
                  learning_rates=[0.02], learning_rate_stops=[],
                  optimizer='gradient', heisenberg_jx=-1.0,
-                 sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
+                 sr_diag_shift=1e-2, sr_delta_clip=1.0,
+                 sr_solver='dense_cg' if use_cg else 'dense',
+                 sr_cg_tol=cg_tol, sr_cg_maxiter=200,
                  symmetrize=True, compute_dtype=dtype,
                  energy_chunk_samples=echunk, sr_jacobian_chunk=jac_chunk,
                  sr_matmul_precision=mat_prec, seed=11)
@@ -67,7 +69,7 @@ def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
     def solve(p, o, epoch, configs, e_loc):
         e_mean = jnp.mean(e_loc)
         delta, grad_e, res = opt._dense_solve(configs, p, e_loc, e_mean,
-                                              None)
+                                              None, use_cg=use_cg)
         new_p, new_o = opt.optax_opt.update(delta, o, p, epoch)
         return new_p, new_o, res
 
@@ -100,11 +102,12 @@ def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
     return total
 
 
-variant('fp32 M=4096 (round-2 flagship)', 'float32', 1024, 4)
-variant('bf16 M=4096', 'bfloat16', 1024, 4)
-variant('fp32 M=8192', 'float32', 2048, 4)
-variant('bf16 M=8192', 'bfloat16', 2048, 4)
-variant('bf16 M=8192 jac_chunk=1024 echunk=256', 'bfloat16', 2048, 4,
-        jac_chunk=1024, echunk=256)
-variant('fp32 M=4096 solveprec=high', 'float32', 1024, 4, mat_prec='high')
-variant('bf16 M=8192 solveprec=high', 'bfloat16', 2048, 4, mat_prec='high')
+if __name__ == '__main__':
+    variant('fp32 M=4096 (round-2 flagship)', 'float32', 1024, 4)
+    variant('bf16 M=4096', 'bfloat16', 1024, 4)
+    variant('fp32 M=8192', 'float32', 2048, 4)
+    variant('bf16 M=8192', 'bfloat16', 2048, 4)
+    variant('bf16 M=8192 jac_chunk=1024 echunk=256', 'bfloat16', 2048, 4,
+            jac_chunk=1024, echunk=256)
+    variant('fp32 M=4096 solveprec=high', 'float32', 1024, 4, mat_prec='high')
+    variant('bf16 M=8192 solveprec=high', 'bfloat16', 2048, 4, mat_prec='high')

@@ -1,0 +1,122 @@
+"""fast_jacobian oracle: batched-GEMM rows == vmap(grad) rows.
+
+The fast path reformulates the conv forward as im2col GEMMs with
+per-sample weight copies (optim/fast_jacobian.py); these tests pin it
+to the generic `_jacobian_rows` bit-for-bit computation to f32
+tolerance across the supported surface (base conv, symmetrized orbit,
+spin flip, even kernels, chunk padding) and end-to-end through an SR
+epoch.
+"""
+
+import numpy as np
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import pytest
+
+from cgs_vmc_tpu import basis
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.optim import fast_jacobian
+from cgs_vmc_tpu.optim.sr import StochasticReconfiguration, _jacobian_rows
+from cgs_vmc_tpu.train import build_hamiltonian
+
+
+def _reference_rows(wf, params, configs, chunk):
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def single_log(p_flat, config):
+        return wf.apply(unravel(p_flat), config[None, :]).log[0]
+
+    return np.asarray(_jacobian_rows(single_log, flat, configs, chunk))
+
+
+def _check(cfg, batch=24, chunk=0, seed=0):
+    wf = build_wavefunction(cfg)
+    params = wf.init(jax.random.key(seed))
+    configs = basis.random_configurations(jax.random.key(seed + 1),
+                                          cfg.num_sites, batch)
+    fast = fast_jacobian.rows_fn_for(wf)
+    assert fast is not None
+    got = np.asarray(fast(params, configs, chunk))
+    want = _reference_rows(wf, params, configs, chunk)
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-12
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=2e-4)
+
+
+def test_base_conv_rows_match():
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='conv_2d', num_conv_layers=2,
+                  num_conv_filters=8, kernel_size=3, symmetrize=False))
+
+
+def test_symmetrized_rows_match():
+    # C4v x spin flip: the 16-element flagship orbit at 4x4.
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='conv_2d', num_conv_layers=3,
+                  num_conv_filters=8, kernel_size=3, symmetrize=True))
+
+
+def test_even_kernel_pad_asymmetry():
+    # Even kernels pad asymmetrically (nn._periodic_pad_2d); the im2col
+    # path reuses the same helper, so rows must still agree.
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='conv_2d', num_conv_layers=2,
+                  num_conv_filters=6, kernel_size=2, symmetrize=True))
+
+
+def test_rectangular_lattice_and_selu():
+    _check(Config(num_sites=12, size_x=4, size_y=3,
+                  wavefunction_type='conv_2d', num_conv_layers=2,
+                  num_conv_filters=5, kernel_size=3, symmetrize=True,
+                  nonlinearity='selu'))
+
+
+def test_chunk_padding_path():
+    # batch=20 with chunk=8 -> 3 chunks with 4 padded rows dropped.
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='conv_2d', num_conv_layers=2,
+                  num_conv_filters=8, kernel_size=3, symmetrize=True),
+           batch=20, chunk=8)
+
+
+def test_unsupported_returns_none():
+    wf = build_wavefunction(Config(num_sites=8,
+                                   wavefunction_type='fully_connected'))
+    assert fast_jacobian.rows_fn_for(wf) is None
+    wf = build_wavefunction(Config(
+        num_sites=8, wavefunction_type='complex',
+        composite_wavefunction_types=('fully_connected',
+                                      'fully_connected')))
+    assert fast_jacobian.rows_fn_for(wf) is None
+
+
+@pytest.mark.parametrize('symmetrize', [False, True])
+def test_sr_epoch_equivalent(symmetrize):
+    """One dense-SR epoch with the fast path == with vmap(grad)."""
+    base = dict(num_sites=16, size_x=4, size_y=4,
+                wavefunction_type='conv_2d', num_conv_layers=2,
+                num_conv_filters=6, kernel_size=3, symmetrize=symmetrize,
+                wavefunction_optimizer_type='SR', batch_size=32,
+                num_batches_per_epoch=2, num_equilibration_sweeps=2,
+                num_monte_carlo_sweeps=1, optimizer='gradient',
+                learning_rates=[0.02], learning_rate_stops=[],
+                heisenberg_jx=-1.0, sr_solver='dense',
+                sr_diag_shift=1e-2, sr_delta_clip=1.0, seed=3)
+
+    outs = []
+    for fast in (True, False):
+        cfg = Config(sr_fast_jacobian=fast, **base)
+        wf = build_wavefunction(cfg)
+        ham = build_hamiltonian(cfg)
+        opt = StochasticReconfiguration(wf, ham, cfg)
+        state = opt.init_state(jax.random.key(cfg.seed))
+        state, metrics = jax.jit(opt.epoch)(state)
+        outs.append((jax.flatten_util.ravel_pytree(state.params)[0],
+                     metrics['energy']))
+    np.testing.assert_allclose(np.asarray(outs[0][0]),
+                               np.asarray(outs[1][0]),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(outs[0][1]), float(outs[1][1]),
+                               rtol=1e-5)
