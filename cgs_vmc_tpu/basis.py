@@ -161,4 +161,7 @@ def lin_index(configs: jax.Array, top_table: jax.Array, bot_table: jax.Array
     ups = (configs > 0).astype(jnp.int32)
     bot_bits = jnp.sum(ups[..., :bot_len] * bot_w, axis=-1)
     top_bits = jnp.sum(ups[..., bot_len:] * top_w, axis=-1)
-    return top_table[top_bits] + bot_table[bot_bits]
+    # Tables arrive as host numpy (models/full_vector.py); jnp.asarray at
+    # trace time lowers them as host constants AND allows tracer indexing.
+    return (jnp.asarray(top_table)[top_bits]
+            + jnp.asarray(bot_table)[bot_bits])

@@ -29,8 +29,10 @@ class FullVector(Wavefunction):
                  name: str = 'full_vector'):
         self.name = name
         self.num_sites = num_sites
-        self.top_lin_table = jnp.asarray(top_lin_table, jnp.int32)
-        self.bot_lin_table = jnp.asarray(bot_lin_table, jnp.int32)
+        # Host numpy lookup tables: device constants hit the relay's
+        # Unimplemented device->host read at jit lowering (models/symmetry.py).
+        self.top_lin_table = np.asarray(top_lin_table, np.int32)
+        self.bot_lin_table = np.asarray(bot_lin_table, np.int32)
         self.initial_vector = np.asarray(initial_vector, np.float32)
 
     @classmethod

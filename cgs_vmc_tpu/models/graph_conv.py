@@ -30,7 +30,7 @@ class GraphConvNetwork(Wavefunction):
         self.name = name
         self.num_layers = num_layers
         self.num_filters = num_filters
-        self.adj = jnp.asarray(adj, jnp.int32)
+        self.adj = np.asarray(adj, np.int32)  # host constant (see symmetry.py)
         self.nonlinearity = nonlinearity
         self.output_activation = output_activation
 

@@ -41,7 +41,13 @@ class SymmetrizedWavefunction(Wavefunction):
         perms = np.asarray(perms, np.int32)
         if perms.ndim != 2:
             raise ValueError('perms must be [n_ops, n_sites]')
-        self.perms = jnp.asarray(perms)
+        # Kept as HOST numpy deliberately: a device-resident constant must
+        # be read back during jit lowering, and the axon relay's
+        # device->host path is Unimplemented for some small int32 layouts
+        # (observed: [8,16] fails where [8,36] works).  numpy constants
+        # lower from host memory unconditionally, and traced indexing
+        # accepts numpy index tables at zero cost.
+        self.perms = perms
         self.spin_flip = spin_flip
         self.n_ops = perms.shape[0] * (2 if spin_flip else 1)
 

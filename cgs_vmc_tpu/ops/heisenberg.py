@@ -178,7 +178,11 @@ class HeisenbergHamiltonian(LocalOperator):
         bonds = np.asarray(bonds, dtype=np.int32)
         if bonds.ndim != 2 or bonds.shape[1] != 2:
             raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
-        self.bonds = jnp.asarray(bonds)
+        # Bond/coupling tables stay HOST numpy: device-resident constants
+        # must be read back at jit-lowering time, and the axon relay's
+        # device->host path is Unimplemented for some small layouts (see
+        # models/symmetry.py).  numpy constants lower from host memory.
+        self.bonds = bonds
         self.n_bonds = bonds.shape[0]
         self.j_x = float(j_x)
         self.j_z = float(j_z)
@@ -192,7 +196,7 @@ class HeisenbergHamiltonian(LocalOperator):
                 raise ValueError(
                     f'{name} must be [n_bonds={self.n_bonds}], '
                     f'got {arr.shape}')
-            return jnp.asarray(arr)
+            return arr
 
         self.couplings = _check(couplings, 'couplings')
         self.offdiag_couplings = _check(offdiag_couplings,

@@ -51,7 +51,9 @@ class TransverseFieldIsingHamiltonian(LocalOperator):
         bonds = np.asarray(bonds, dtype=np.int32)
         if bonds.ndim != 2 or bonds.shape[1] != 2:
             raise ValueError(f'bonds must be [n_bonds, 2], got {bonds.shape}')
-        self.bonds = jnp.asarray(bonds)
+        # Host numpy (not device arrays): see ops/heisenberg.py on the
+        # relay's Unimplemented device->host reads at lowering time.
+        self.bonds = bonds
         self.n_bonds = bonds.shape[0]
         self.h_x = float(h_x)
         self.j_zz = float(j_zz)
@@ -64,7 +66,7 @@ class TransverseFieldIsingHamiltonian(LocalOperator):
                 raise ValueError(
                     f'couplings must be [n_bonds={self.n_bonds}], '
                     f'got {couplings.shape}')
-            self.couplings = jnp.asarray(couplings)
+            self.couplings = couplings
 
     def diagonal(self, configs: jax.Array) -> jax.Array:
         """-J sum_b c_b s_i s_j, [batch]."""

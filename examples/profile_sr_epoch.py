@@ -22,7 +22,8 @@ from cgs_vmc_tpu.sampler import metropolis
 
 
 def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
-            reps=5, mat_prec='highest', use_cg=False, cg_tol=1e-5):
+            reps=5, mat_prec='highest', use_cg=False, cg_tol=1e-5,
+            **cfg_kw):
     cfg = Config(num_sites=36, size_x=6, size_y=6,
                  wavefunction_type='conv_2d', num_conv_layers=5,
                  num_conv_filters=32, kernel_size=3,
@@ -36,7 +37,7 @@ def variant(name, dtype, batch, n_batches, jac_chunk=512, echunk=128,
                  sr_cg_tol=cg_tol, sr_cg_maxiter=200,
                  symmetrize=True, compute_dtype=dtype,
                  energy_chunk_samples=echunk, sr_jacobian_chunk=jac_chunk,
-                 sr_matmul_precision=mat_prec, seed=11)
+                 sr_matmul_precision=mat_prec, seed=11, **cfg_kw)
     wf = build_wavefunction(cfg)
     ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6),
                                 -1.0, 1.0, sample_chunk=echunk)
