@@ -365,8 +365,17 @@ class StochasticReconfiguration:
                                   axis=0)                   # [2M_loc, P]
             b = jnp.concatenate([jnp.real(eps_c), jnp.imag(eps_c)])
         else:
-            jac = center(_jacobian_rows(single_log, flat_params,
-                                        all_configs, chunk))  # [M_loc, P]
+            # Same MXU-native fast rows as `_dense_solve` — the grouped-conv
+            # vmap(grad) lowering is the dominant cost at sample_cg scale
+            # (optim/fast_jacobian.py).
+            fast = (fast_jacobian.rows_fn_for(wf)
+                    if getattr(cfg, 'sr_fast_jacobian', True) else None)
+            if fast is not None:
+                raw = fast(params, all_configs, chunk)
+            else:
+                raw = _jacobian_rows(single_log, flat_params,
+                                     all_configs, chunk)
+            jac = center(raw)                               # [M_loc, P]
             b = eps_c
         b = b / m_global
 

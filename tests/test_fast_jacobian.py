@@ -92,9 +92,11 @@ def test_unsupported_returns_none():
     assert fast_jacobian.rows_fn_for(wf) is None
 
 
-@pytest.mark.parametrize('symmetrize', [False, True])
-def test_sr_epoch_equivalent(symmetrize):
-    """One dense-SR epoch with the fast path == with vmap(grad)."""
+@pytest.mark.parametrize('symmetrize,solver', [
+    (False, 'dense'), (True, 'dense'), (True, 'sample_cg')])
+def test_sr_epoch_equivalent(symmetrize, solver):
+    """One SR epoch with the fast path == with vmap(grad), for both the
+    dense Cholesky solver and the sharded-Jacobian sample_cg solver."""
     base = dict(num_sites=16, size_x=4, size_y=4,
                 wavefunction_type='conv_2d', num_conv_layers=2,
                 num_conv_filters=6, kernel_size=3, symmetrize=symmetrize,
@@ -102,7 +104,8 @@ def test_sr_epoch_equivalent(symmetrize):
                 num_batches_per_epoch=2, num_equilibration_sweeps=2,
                 num_monte_carlo_sweeps=1, optimizer='gradient',
                 learning_rates=[0.02], learning_rate_stops=[],
-                heisenberg_jx=-1.0, sr_solver='dense',
+                heisenberg_jx=-1.0, sr_solver=solver,
+                sr_cg_tol=1e-9, sr_cg_maxiter=400,
                 sr_diag_shift=1e-2, sr_delta_clip=1.0, seed=3)
 
     outs = []
