@@ -13,3 +13,15 @@ variant('fp32 M=4096 high FASTJAC (new default)', 'float32', 1024, 4,
         mat_prec='high', sr_fast_jacobian=True)
 variant('fp32 M=4096 high generic vmap(grad) jac (round-3b control)',
         'float32', 1024, 4, mat_prec='high', sr_fast_jacobian=False)
+# Energy-phase chunk sweep: is the 0.224s energy phase (57 TF/s vs the
+# sampler forwards' 85) limited by lax.map serialization at echunk=128?
+variant('fp32 M=4096 high FASTJAC echunk=256', 'float32', 1024, 4,
+        echunk=256, mat_prec='high', sr_fast_jacobian=True)
+variant('fp32 M=4096 high FASTJAC echunk=512', 'float32', 1024, 4,
+        echunk=512, mat_prec='high', sr_fast_jacobian=True)
+# Fast-Jacobian chunk sweep (its GEMMs may prefer larger chunks than
+# vmap(grad) did).
+variant('fp32 M=4096 high FASTJAC jchunk=1024', 'float32', 1024, 4,
+        jac_chunk=1024, mat_prec='high', sr_fast_jacobian=True)
+variant('fp32 M=4096 high FASTJAC jchunk=2048', 'float32', 1024, 4,
+        jac_chunk=2048, mat_prec='high', sr_fast_jacobian=True)
