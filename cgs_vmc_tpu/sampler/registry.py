@@ -18,6 +18,7 @@ entry                 priority  condition
 mtm                        100  config.mtm_candidates > 1 (explicit)
 mps_env                     90  config.mps_incremental_sweeps (opt-in)
 rbm_pallas                  50  pure RBM + TPU backend + use_fast_sampler
+jastrow_delta               45  plain Jastrow + use_fast_sampler
 pbdg_sherman_morrison       40  ProjectedBDG + use_fast_sampler
 generic                   -inf  always
 ====================  ========  =====================================
@@ -191,6 +192,25 @@ def _register_builtins() -> None:
 
     register_fast_path('rbm_pallas', priority=50,
                        supports=rbm_supports, make=rbm_make)
+
+    def jastrow_supports(wf, config):
+        # Exact O(n) delta for the quadratic form: pure XLA, every backend.
+        if not _exchange_only(config):
+            return False
+        if not getattr(config, 'use_fast_sampler', True):
+            return False
+        from cgs_vmc_tpu.sampler import fast_jastrow
+        return fast_jastrow.supports(wf)
+
+    def jastrow_make(wf, config):
+        from cgs_vmc_tpu.sampler import fast_jastrow
+
+        def sweeps(params, state, num_sweeps):
+            return fast_jastrow.run_sweeps(wf, params, state, num_sweeps)
+        return sweeps
+
+    register_fast_path('jastrow_delta', priority=45,
+                       supports=jastrow_supports, make=jastrow_make)
 
     def pbdg_supports(wf, config):
         # Pure-XLA incremental path: beneficial on every backend.
