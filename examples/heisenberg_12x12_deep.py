@@ -38,8 +38,11 @@ cfg = Config(num_sites=N, size_x=12, size_y=12,
              learning_rates=[0.02, 0.01, 0.004, 0.0015],
              learning_rate_stops=[300, 700, 1100],
              optimizer='gradient', heisenberg_jx=-1.0,
+             # chunk 256: the fast-Jacobian path keeps each layer's im2col
+             # patches ([c, n_ops*144, 288] f32) alive for the vjp — at
+             # c=256 that is ~0.7 GB/layer x 7 layers, comfortably in HBM.
              sr_diag_shift=1e-2, sr_solver='sample_cg', sr_delta_clip=1.0,
-             sr_reject_residual=0.5, sr_jacobian_chunk=512,
+             sr_reject_residual=0.5, sr_jacobian_chunk=256,
              sr_cg_tol=1e-5, sr_cg_maxiter=200,
              symmetrize=True, seed=41)
 END = 1400
