@@ -111,6 +111,25 @@ def main():
         return fast_pbdg.run_sweeps(det_wf, det_params, s, SWEEPS)
     time_sweeps('pbdg 36-site Sherman-Morrison', det_fast, det_state)
 
+    # --- Jastrow: generic O(n^2) quadratic form vs exact O(n) delta.
+    from cgs_vmc_tpu.models.jastrow import JastrowWavefunction
+    from cgs_vmc_tpu.sampler import fast_jastrow
+    jas_wf = JastrowWavefunction(N_SITES)
+    jas_params = jas_wf.init(jax.random.key(7))
+    jas_state = metropolis.init_sampler(jax.random.key(8), jas_wf,
+                                        jas_params, N_SITES, N_CHAINS)
+
+    @jax.jit
+    def jas_generic(s):
+        return metropolis.run_sweeps(jas_wf, jas_params, s, SWEEPS)
+    time_sweeps('jastrow 36-site generic (s\'Ss/move)', jas_generic,
+                jas_state)
+
+    @jax.jit
+    def jas_fast(s):
+        return fast_jastrow.run_sweeps(jas_wf, jas_params, s, SWEEPS)
+    time_sweeps('jastrow 36-site O(n) delta', jas_fast, jas_state)
+
 
 if __name__ == '__main__':
     main()
