@@ -125,6 +125,10 @@ class Config:
     # makes the ground state near-positive at moderate J2/J1.
     heisenberg_marshall_gauge: bool = False
     j_file_path: str = ''        # bonds file: 'i j [J_ij]' rows
+    # '' / 'auto': geometry-derived (square if size_x*size_y==num_sites,
+    # else chain); 'triangular': rhombic-torus triangular lattice
+    # (frustrated — pair with a complex-phase ansatz for AFM couplings).
+    lattice_type: str = ''
                                  # (reference: J.txt in ckpt dir)
     # Chunk the connected-config local-energy fan-out over samples (0 = off);
     # needed when batch × n_bonds (× symmetry orbit) exceeds HBM.

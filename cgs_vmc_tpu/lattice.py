@@ -60,6 +60,38 @@ def square_lattice_bonds(
     return np.asarray(unique, dtype=np.int32)
 
 
+def triangular_lattice_bonds(size_x: int, size_y: int,
+                             periodic: bool = True) -> np.ndarray:
+    """Nearest-neighbour bonds of a triangular lattice on a rhombic
+    size_x × size_y torus (site = x*size_y + y, same convention as
+    square_lattice_bonds): +x, +y and +x+y neighbours — 3 bonds/site,
+    coordination 6.  Geometrically frustrated for antiferromagnetic
+    couplings (no bipartition, no Marshall gauge) — the physical regime
+    for the complex-phase ansatzes.  Beyond the reference, whose built-in
+    geometry is the 1-D chain (cgs_vmc/run_training.py:103-109)."""
+    def site(x: int, y: int) -> int:
+        return (x % size_x) * size_y + (y % size_y)
+
+    bonds, seen = [], set()
+    for x in range(size_x):
+        for y in range(size_y):
+            steps = []
+            if periodic or x + 1 < size_x:
+                steps.append((x + 1, y))
+            if periodic or y + 1 < size_y:
+                steps.append((x, y + 1))
+            if periodic or (x + 1 < size_x and y + 1 < size_y):
+                steps.append((x + 1, y + 1))
+            for nx_, ny_ in steps:
+                i, j = site(x, y), site(nx_, ny_)
+                key = (min(i, j), max(i, j))
+                if i == j or key in seen:
+                    continue
+                seen.add(key)
+                bonds.append((i, j))
+    return np.asarray(bonds, dtype=np.int32)
+
+
 def j1j2_chain_bonds(n_sites: int, periodic: bool = True
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Bonds of the J1–J2 chain: (bonds, j2_mask) where j2_mask is 1.0 on
@@ -141,13 +173,24 @@ def bonds_and_couplings_for_config(config
                                    ) -> tuple[np.ndarray, np.ndarray | None]:
     """Resolves (bonds, per-bond couplings | None) for a run configuration.
 
-    Priority: explicit J-file (optional coupling column) > J1–J2 lattice
-    when ``heisenberg_j2 != 0`` (chain or square by geometry) > 2-D square
+    Priority: explicit J-file (optional coupling column) > explicit
+    ``lattice_type`` ('triangular') > J1–J2 lattice when
+    ``heisenberg_j2 != 0`` (chain or square by geometry) > 2-D square
     lattice (size_x*size_y == num_sites, both > 1) > 1-D periodic chain
     (the reference fallback, cgs_vmc/run_training.py:103-109).
     """
     if config.j_file_path:
         return load_bonds_and_couplings(config.j_file_path)
+    lattice_type = getattr(config, 'lattice_type', '')
+    if lattice_type == 'triangular':
+        if (config.size_x <= 1 or config.size_y <= 1
+                or config.size_x * config.size_y != config.num_sites):
+            raise ValueError('triangular lattice requires size_x, size_y '
+                             '> 1 with size_x*size_y == num_sites')
+        return triangular_lattice_bonds(config.size_x, config.size_y), None
+    if lattice_type and lattice_type not in ('', 'auto'):
+        raise ValueError(f'unknown lattice_type {lattice_type!r}; '
+                         "known: '', 'auto', 'triangular'")
     is_square = (config.size_x > 1 and config.size_y > 1
                  and config.size_x * config.size_y == config.num_sites)
     j2 = getattr(config, 'heisenberg_j2', 0.0)

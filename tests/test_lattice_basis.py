@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 from math import comb
 
+import pytest
+
 from cgs_vmc_tpu import basis, lattice
 
 
@@ -107,3 +109,106 @@ def test_displacement_pairs_square_lattice():
 def test_displacement_pairs_chain():
     pairs = lattice.displacement_pairs(8, 1, 1, 3)
     assert [tuple(p) for p in pairs] == [(i, (i + 3) % 8) for i in range(8)]
+
+
+def test_triangular_lattice_geometry():
+    """3 bonds/site, coordination 6, translation-invariant, dedup at L=2."""
+    from cgs_vmc_tpu.lattice import triangular_lattice_bonds
+    bonds = triangular_lattice_bonds(4, 3)
+    n = 12
+    assert bonds.shape == (3 * n, 2)
+    degree = np.zeros(n, int)
+    for i, j in bonds:
+        degree[i] += 1
+        degree[j] += 1
+    assert (degree == 6).all()
+    # Unordered pairs unique.
+    keys = {(min(i, j), max(i, j)) for i, j in bonds}
+    assert len(keys) == 3 * n
+    # L=2 direction: duplicate wrap bonds must be deduplicated.
+    small = triangular_lattice_bonds(2, 2)
+    keys = {(min(i, j), max(i, j)) for i, j in small}
+    assert len(keys) == len(small)
+
+
+def test_triangular_config_dispatch():
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu import lattice
+    cfg = Config(num_sites=12, size_x=4, size_y=3,
+                 lattice_type='triangular')
+    bonds, couplings = lattice.bonds_and_couplings_for_config(cfg)
+    assert bonds.shape == (36, 2) and couplings is None
+    with pytest.raises(ValueError):
+        lattice.bonds_and_couplings_for_config(
+            Config(num_sites=12, lattice_type='triangular'))
+    with pytest.raises(ValueError):
+        lattice.bonds_and_couplings_for_config(
+            Config(num_sites=12, size_x=4, size_y=3, lattice_type='kagome'))
+
+
+def test_triangular_local_energy_matches_dense_matrix():
+    """Frustrated-lattice wiring: E_loc from the triangular bond list ==
+    (H psi)(R)/psi(R) from the dense matrix on the same bonds."""
+    from cgs_vmc_tpu.lattice import triangular_lattice_bonds
+    from cgs_vmc_tpu.models.full_vector import FullVector
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.utils import ed
+    import jax
+    import jax.numpy as jnp
+
+    n = 12
+    bonds = triangular_lattice_bonds(4, 3)
+    rng = np.random.default_rng(1)
+    dim = len(basis.enumerate_sz_basis(n))
+    vec = (rng.normal(size=dim) + 2.5).astype(np.float32)
+    wf = FullVector.for_sector(n, vec)
+    params = wf.init(jax.random.key(0))
+    states = basis.enumerate_sz_basis(n)
+    ham = HeisenbergHamiltonian(bonds, j_x=1.0, j_z=1.0)
+    e_loc = np.asarray(ham.local_value(wf, params, jnp.asarray(states)))
+    dense = ed.heisenberg_matrix(n, bonds, j_x=1.0, j_z=1.0, sparse=False)
+    expected = (dense @ vec.astype(np.float64)) / vec
+    np.testing.assert_allclose(e_loc, expected, rtol=3e-4)
+
+
+def test_triangular_complex_sr_descends():
+    """Geometric frustration end-to-end: complex fc x fc + dense SR on the
+    4x3 triangular AFM torus learns a nontrivial sign structure.  No
+    Marshall gauge exists here; measured positive baselines (fc, rbm, same
+    budget) stall at rel err 0.60-0.70 — the complex ansatz must get
+    within 0.20 of ED (measured 0.12 at 250 epochs, seed 7), i.e. far
+    below anything a positive amplitude can represent."""
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu.lattice import triangular_lattice_bonds
+    from cgs_vmc_tpu.models import build_wavefunction
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
+    from cgs_vmc_tpu.utils import ed
+
+    n = 12
+    config = Config(
+        num_sites=n, size_x=4, size_y=3, lattice_type='triangular',
+        wavefunction_type='complex',
+        composite_wavefunction_types=('fully_connected', 'fully_connected'),
+        num_fc_layers=1, fc_layer_size=32,
+        batch_size=256, num_batches_per_epoch=4,
+        num_equilibration_sweeps=10, num_monte_carlo_sweeps=1,
+        optimizer='gradient', learning_rates=[0.05, 0.02, 0.01],
+        learning_rate_stops=[80, 160],
+        sr_solver='dense', sr_diag_shift=1e-3, sr_delta_clip=10.0,
+        heisenberg_jx=1.0, seed=7)
+    wf = build_wavefunction(config)
+    bonds = triangular_lattice_bonds(4, 3)
+    ham = HeisenbergHamiltonian(bonds, j_x=1.0, j_z=1.0)
+    opt = StochasticReconfiguration(wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(250):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    e0, _ = ed.ground_state(n, bonds, 1.0, 1.0)
+    final = np.mean(energies[-10:])
+    rel = abs(final - e0) / abs(e0)
+    assert rel < 0.20, f'triangular SR stalled: E={final} vs E0={e0} ({rel})'
