@@ -38,6 +38,7 @@ from cgs_vmc_tpu.models.full_vector import FullVector
 from cgs_vmc_tpu.models.graph_conv import GraphConvNetwork
 from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
 from cgs_vmc_tpu.models.jastrow import JastrowWavefunction
+from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
 
 
 COMPOSITE_TYPES = ('sum', 'diff', 'prod', 'complex')
@@ -92,5 +93,5 @@ __all__ = [
     'Conv1DNetwork', 'Conv2DNetwork', 'ResNet1D', 'ResNet2D',
     'MatrixProductState', 'ProjectedBDG', 'FullyConnectedNNB',
     'FullVector', 'GraphConvNetwork', 'ComplexPhaseWavefunction',
-    'JastrowWavefunction',
+    'JastrowWavefunction', 'AutoregressiveSpinModel',
 ]

@@ -16,6 +16,7 @@ priorities encode the round-2 dispatch semantics exactly:
 entry                 priority  condition
 ====================  ========  =====================================
 mtm                        100  config.mtm_candidates > 1 (explicit)
+exact_autoregressive        95  AutoregressiveSpinModel (exact draws)
 mps_env                     90  config.mps_incremental_sweeps (opt-in)
 rbm_pallas                  50  pure RBM + TPU backend + use_fast_sampler
 jastrow_delta               45  plain Jastrow + use_fast_sampler
@@ -151,6 +152,23 @@ def _register_builtins() -> None:
 
     register_fast_path('mtm', priority=100,
                        supports=mtm_supports, make=mtm_make)
+
+    def ar_supports(wf, config):
+        # Exact ancestral sampling replaces Metropolis entirely for
+        # autoregressive ansatzes (any move type is irrelevant — draws
+        # are i.i.d. from the normalized |psi|^2).
+        from cgs_vmc_tpu.sampler import fast_ar
+        return fast_ar.supports(wf)
+
+    def ar_make(wf, config):
+        from cgs_vmc_tpu.sampler import fast_ar
+
+        def sweeps(params, state, num_sweeps):
+            return fast_ar.run_sweeps(wf, params, state, num_sweeps)
+        return sweeps
+
+    register_fast_path('exact_autoregressive', priority=95,
+                       supports=ar_supports, make=ar_make)
 
     def mps_supports(wf, config):
         if not _exchange_only(config):
