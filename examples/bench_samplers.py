@@ -130,6 +130,25 @@ def main():
         return fast_jastrow.run_sweeps(jas_wf, jas_params, s, SWEEPS)
     time_sweeps('jastrow 36-site O(n) delta', jas_fast, jas_state)
 
+    # --- MADE exact ancestral sampling: one call = one i.i.d. config per
+    # chain (N_CHAINS fresh samples), zero autocorrelation.  Report as
+    # "sweeps"/s where one call stands in for a full decorrelation run.
+    from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
+    from cgs_vmc_tpu.sampler import fast_ar
+    ar_wf = AutoregressiveSpinModel(N_SITES, hidden=64)
+    ar_params = ar_wf.init(jax.random.key(9))
+    ar_state = metropolis.init_sampler(jax.random.key(10), ar_wf,
+                                       ar_params, N_SITES, N_CHAINS)
+
+    @jax.jit
+    def ar_draw(s):
+        def body(st, _):
+            return fast_ar.run_sweeps(ar_wf, ar_params, st, 1), None
+        out, _ = jax.lax.scan(body, s, None, length=SWEEPS)
+        return out
+    time_sweeps('made 36-site exact draws (per i.i.d. batch)', ar_draw,
+                ar_state, proposals_per_sweep=1)
+
 
 if __name__ == '__main__':
     main()
