@@ -16,18 +16,38 @@ import jax.numpy as jnp
 
 from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
 from cgs_vmc_tpu.models.base import Params
+from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
 from cgs_vmc_tpu.sampler.metropolis import SamplerState
 
 
+def _ar_part(wf):
+    """(ar_model, params_subtree_fn) when `wf` admits exact draws.
+
+    Two shapes qualify: a bare AutoregressiveSpinModel, and a
+    ComplexPhaseWavefunction whose MODULUS is autoregressive — since
+    |psi|^2 = exp(2*Re log) = exp(2*log_modulus), ancestral draws from
+    the modulus sample the full complex state exactly (MCMC-free
+    frustrated VMC: the phase network never enters the sampler)."""
+    if isinstance(wf, AutoregressiveSpinModel):
+        return wf, lambda p: p
+    if (isinstance(wf, ComplexPhaseWavefunction)
+            and isinstance(wf._modulus, AutoregressiveSpinModel)):
+        return wf._modulus, lambda p: p['modulus']
+    return None, None
+
+
 def supports(wf) -> bool:
-    return isinstance(wf, AutoregressiveSpinModel)
+    return _ar_part(wf)[0] is not None
 
 
 def run_sweeps(wf, params: Params, state: SamplerState,
                num_sweeps: int) -> SamplerState:
     """One exact |psi|^2 draw per chain (num_sweeps ignored — i.i.d.)."""
-    if not supports(wf):
-        raise ValueError('fast_ar requires an AutoregressiveSpinModel')
+    ar, sub = _ar_part(wf)
+    if ar is None:
+        raise ValueError('fast_ar requires an AutoregressiveSpinModel '
+                         '(bare or as the modulus of a complex-phase '
+                         'wavefunction)')
     if num_sweeps <= 0:
         return state
 
@@ -36,7 +56,7 @@ def run_sweeps(wf, params: Params, state: SamplerState,
         return nxt, draw
 
     new_keys, draw_keys = jax.vmap(split_one)(state.keys)
-    configs = wf.sample(params, draw_keys)
+    configs = ar.sample(sub(params), draw_keys)
     amp = wf.apply(params, configs)
     return SamplerState(
         configs=configs,
