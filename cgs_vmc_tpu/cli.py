@@ -102,6 +102,11 @@ def main(argv=None) -> int:
              "directory's latest checkpoint. Requires --config (or "
              '--checkpoint_dir with a config.json) describing the ansatz.')
     p_eval.add_argument(
+        '--ema', action='store_true',
+        help='Evaluate the Polyak/EMA-averaged weights '
+             "(TrainState.extra['ema_params']) instead of the raw params; "
+             'requires the run to have trained with param_ema_decay > 0.')
+    p_eval.add_argument(
         '--observable', default='energy',
         help="What to measure: 'energy' (default), 'szsz:<dx>[;<dy>]' "
              "(longitudinal spin-spin correlation at lattice displacement "
@@ -195,8 +200,12 @@ def main(argv=None) -> int:
             if latest is None:
                 print(f'No checkpoint found in {run_dir!r}', file=sys.stderr)
                 return 1
-            params = ckpt_lib.restore_params_from_checkpoint(
-                latest, params_template)
+            if getattr(args, 'ema', False):
+                params = ckpt_lib.restore_ema_from_checkpoint(
+                    latest, params_template)
+            else:
+                params = ckpt_lib.restore_params_from_checkpoint(
+                    latest, params_template)
         hamiltonian = build_hamiltonian(config)
 
         if args.command == 'eval':

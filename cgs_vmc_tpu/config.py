@@ -163,6 +163,11 @@ class Config:
     # granularity staying per-epoch but host visibility arriving every
     # k epochs.  1 = one program per epoch (reference-like behavior).
     epochs_per_call: int = 1
+    # Polyak/EMA averaging of the wavefunction parameters: when > 0 the
+    # training loop tracks ema <- d*ema + (1-d)*params every epoch in
+    # TrainState.extra['ema_params'] (checkpointed; evaluate the averaged
+    # weights with `cgs eval --ema`).  0 disables (no state slot).
+    param_ema_decay: float = 0.0
     # Per-sample Jacobian rows via batched GEMMs for (symmetrized) conv
     # ansatzes (optim/fast_jacobian.py); falls back to vmap(grad) when
     # the ansatz is unsupported.  Same numerics to f32 tolerance.

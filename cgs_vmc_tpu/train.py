@@ -13,6 +13,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from cgs_vmc_tpu import lattice, models
 from cgs_vmc_tpu.config import Config
@@ -86,6 +87,37 @@ def build_hamiltonian(config: Config):
                      "known: ['heisenberg', 'ising']")
 
 
+def _ema_wrap(epoch, decay: float):
+    """Tracks an exponential moving average of params across epochs.
+
+    The slot lives in TrainState.extra['ema_params'] (see
+    `_maybe_add_ema_slot`); the wrapper re-adds it after the inner epoch
+    because some optimizers rebuild `extra` with their own keys.  Polyak
+    averaging smooths the SR/SGD iterate noise out of the final weights —
+    evaluate them with `cgs eval --ema`.
+    """
+    def fn(state, axis_name=None):
+        ema = state.extra['ema_params']
+        new_state, metrics = epoch(state, axis_name=axis_name)
+        new_ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            ema, new_state.params)
+        new_state = new_state._replace(
+            extra={**new_state.extra, 'ema_params': new_ema})
+        return new_state, metrics
+    return fn
+
+
+def _maybe_add_ema_slot(state: TrainState, config: Config) -> TrainState:
+    """Adds the EMA params slot when param_ema_decay > 0 (before any
+    checkpoint restore, so resume templates match)."""
+    decay = getattr(config, 'param_ema_decay', 0.0)
+    if not decay or 'ema_params' in state.extra:
+        return state
+    ema = jax.tree.map(jnp.copy, state.params)
+    return state._replace(extra={**state.extra, 'ema_params': ema})
+
+
 def _scan_epochs(epoch, k: int):
     """k epochs as ONE traced program; metrics gain a leading [k] axis.
 
@@ -111,6 +143,9 @@ def _make_epoch_fn(optimizer, state: TrainState, config: Config,
     dispatch (metrics stacked along a leading axis).
     """
     epoch = optimizer.epoch
+    decay = getattr(config, 'param_ema_decay', 0.0)
+    if decay:
+        epoch = _ema_wrap(epoch, decay)
     if epochs_per_call > 1:
         epoch = _scan_epochs(epoch, epochs_per_call)
     if config.num_devices <= 1:
@@ -150,6 +185,7 @@ def train(config: Config, resume: bool = False,
     metrics; returns the final TrainState.
     """
     wf, _, optimizer, state = _init_ground_state(config)
+    state = _maybe_add_ema_slot(state, config)
     out_dir = config.checkpoint_dir
     if out_dir:
         ckpt_lib.save_config(out_dir, config)
@@ -241,6 +277,7 @@ def distill(config: Config, resume: bool = False,
 
     key = jax.random.key(config.seed)
     state = optimizer.init_state(key, target_params, config.batch_size)
+    state = _maybe_add_ema_slot(state, config)
 
     out_dir = config.checkpoint_dir
     if out_dir:

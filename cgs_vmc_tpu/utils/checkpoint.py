@@ -174,6 +174,26 @@ def restore_params_from_checkpoint(path: str, params_template: Any) -> Any:
         jax.device_get(params_template), raw['params'])
 
 
+def restore_ema_from_checkpoint(path: str, params_template: Any) -> Any:
+    """Extracts the Polyak/EMA-averaged wavefunction parameters
+    (TrainState.extra['ema_params'], written when the run trained with
+    config.param_ema_decay > 0) from a full-TrainState checkpoint."""
+    if path.endswith('.orbax'):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as checkpointer:
+            raw = checkpointer.restore(os.path.abspath(path))
+    else:
+        with open(path, 'rb') as f:
+            raw = serialization.msgpack_restore(f.read())
+    ema = raw.get('extra', {}).get('ema_params')
+    if ema is None:
+        raise ValueError(
+            f'{path!r} carries no EMA parameters — the run was trained '
+            f'with param_ema_decay=0')
+    return serialization.from_state_dict(
+        jax.device_get(params_template), ema)
+
+
 def save_config(directory: str, config) -> None:
     os.makedirs(directory, exist_ok=True)
     config.save(os.path.join(directory, 'config.json'))

@@ -7,6 +7,8 @@ the ground state is positive — the gauge the reference pipeline trains in
 
 import numpy as np
 import jax
+import jax.flatten_util
+import jax.numpy as jnp
 import pytest
 
 from cgs_vmc_tpu import basis, lattice
@@ -155,3 +157,62 @@ def test_basis_iteration_seed_changes_order():
         _, perm_key = jax.random.split(state.extra['data_key'])
         orders.append(np.asarray(jax.random.permutation(perm_key, dim)))
     assert not np.array_equal(orders[0], orders[1])
+
+
+def test_param_ema_tracks_and_resumes(tmp_path):
+    """param_ema_decay > 0: the EMA slot follows ema <- d*ema+(1-d)*p
+    exactly, is checkpointed, survives resume, and `cgs eval --ema`'s
+    restore helper reads it back."""
+    import numpy as np
+    from cgs_vmc_tpu.models import build_wavefunction
+    from cgs_vmc_tpu.utils import checkpoint as ckpt_lib
+    from cgs_vmc_tpu.train import train
+
+    cfg = Config(num_sites=8, wavefunction_type='rbm',
+                 num_fc_layers=0, fc_layer_size=8,
+                 wavefunction_optimizer_type='EnergyGradient',
+                 batch_size=32, num_batches_per_epoch=1,
+                 num_equilibration_sweeps=1, num_monte_carlo_sweeps=1,
+                 num_epochs=4, checkpoint_frequency=2,
+                 learning_rates=[0.05], learning_rate_stops=[],
+                 optimizer='gradient', heisenberg_jx=-1.0,
+                 param_ema_decay=0.8, use_fast_sampler=False,
+                 checkpoint_dir=str(tmp_path), seed=3)
+    state = train(cfg)
+    assert 'ema_params' in state.extra
+
+    # EMA lags params but is not equal to them after updates.
+    flat_p = jax.flatten_util.ravel_pytree(state.params)[0]
+    flat_e = jax.flatten_util.ravel_pytree(state.extra['ema_params'])[0]
+    assert not np.allclose(np.asarray(flat_p), np.asarray(flat_e))
+
+    # The restore helper reads the averaged weights back.
+    wf = build_wavefunction(cfg)
+    template = wf.init(jax.random.key(cfg.seed))
+    latest = ckpt_lib.latest_checkpoint(str(tmp_path))
+    ema = ckpt_lib.restore_ema_from_checkpoint(latest, template)
+    np.testing.assert_allclose(
+        np.asarray(jax.flatten_util.ravel_pytree(ema)[0]),
+        np.asarray(flat_e), rtol=1e-6)
+
+    # Resume continues from the stored slot without structure errors.
+    cfg2 = cfg.replace(num_epochs=6)
+    state2 = train(cfg2, resume=True)
+    assert 'ema_params' in state2.extra
+
+    # Exact recurrence check over one epoch: rerun the last epoch's
+    # update by hand from the checkpointed state.
+    # (Integration-level: d*ema + (1-d)*params with d=0.8.)
+    # Covered implicitly by the restore equality above plus the lag
+    # assertion; a unit check of the wrapper:
+    from cgs_vmc_tpu.train import _ema_wrap
+    def fake_epoch(s, axis_name=None):
+        new_p = jax.tree.map(lambda p: p + 1.0, s.params)
+        return s._replace(params=new_p), {'energy': jnp.zeros(())}
+    s0 = state._replace(extra={'ema_params': state.params})
+    s1, _ = _ema_wrap(fake_epoch, 0.8)(s0)
+    want = jax.tree.map(lambda p: p + 0.2, state.params)
+    np.testing.assert_allclose(
+        np.asarray(jax.flatten_util.ravel_pytree(
+            s1.extra['ema_params'])[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(want)[0]), rtol=1e-6)
