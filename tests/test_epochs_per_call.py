@@ -92,3 +92,17 @@ def test_scanned_epochs_checkpoint_and_resume(tmp_path):
     state = train(cfg2, resume=True)
     assert int(state.epoch) == 8
     assert len(_metric_rows(cfg.checkpoint_dir)) >= 8
+
+
+def test_scanned_epochs_compose_with_param_ema(tmp_path):
+    """EMA wrapped INSIDE the scan: k fused epochs update the average k
+    times, identically to per-epoch dispatch."""
+    import jax
+    cfg1 = _config(tmp_path, 'ema1', epochs_per_call=1, param_ema_decay=0.9)
+    cfgk = _config(tmp_path, 'emak', epochs_per_call=3, param_ema_decay=0.9)
+    state1 = train(cfg1)
+    statek = train(cfgk)
+    e1 = [np.asarray(x) for x in jax.tree.leaves(state1.extra['ema_params'])]
+    ek = [np.asarray(x) for x in jax.tree.leaves(statek.extra['ema_params'])]
+    for a, b in zip(e1, ek):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
