@@ -205,10 +205,19 @@ def bench_flagship_sr_epoch():
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     flops = _flagship_epoch_flops(cfg, n_params)
     a100_epoch_s = flops / A100_EFFECTIVE_FLOPS
+    # Key consistency: every derived number names its timing basis.
+    # *_percall uses the single-dispatch median (includes ~25-30 ms of
+    # relay launch latency per call); the unsuffixed samples/ratio keys
+    # use the fused steady-state epoch and say so in
+    # sr_epoch_timing_basis, so a consumer can re-derive each one.
     return {
-        'sr_epoch_wall_s': round(best, 4),
-        'sr_epoch_wall_s_fused': round(fused, 4),
+        'sr_epoch_timing_basis': (
+            f'fused: {k_fused} epochs per dispatch (lax.scan), median of '
+            f'3; percall: single dispatch, median of 5'),
+        'sr_epoch_wall_s_percall': round(best, 4),
+        'sr_epoch_wall_s': round(fused, 4),
         'sr_epoch_samples_per_sec': round(samples / fused, 1),
+        'sr_epoch_samples_per_sec_percall': round(samples / best, 1),
         'sr_epoch_flops_est': float(f'{flops:.3e}'),
         'sr_epoch_a100_roofline_s': round(a100_epoch_s, 4),
         'sr_epoch_vs_a100_roofline': round(a100_epoch_s / fused, 3),

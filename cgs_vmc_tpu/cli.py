@@ -193,6 +193,11 @@ def main(argv=None) -> int:
         params_template = wf.init(jax.random.key(config.seed))
         params_path = getattr(args, 'params', '')
         if params_path:
+            if getattr(args, 'ema', False):
+                print('--ema cannot be combined with --params: standalone '
+                      'artifacts are params-only and carry no EMA slot',
+                      file=sys.stderr)
+                return 1
             params = ckpt_lib.restore_params_only(params_path,
                                                   params_template)
         else:

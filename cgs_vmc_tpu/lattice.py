@@ -187,6 +187,11 @@ def bonds_and_couplings_for_config(config
                 or config.size_x * config.size_y != config.num_sites):
             raise ValueError('triangular lattice requires size_x, size_y '
                              '> 1 with size_x*size_y == num_sites')
+        if getattr(config, 'heisenberg_j2', 0.0):
+            raise ValueError(
+                'heisenberg_j2 is not supported on the triangular lattice '
+                '(the built-in J1-J2 generators are chain/square); supply '
+                'an explicit bonds-and-couplings file via j_file_path')
         return triangular_lattice_bonds(config.size_x, config.size_y), None
     if lattice_type and lattice_type not in ('', 'auto'):
         raise ValueError(f'unknown lattice_type {lattice_type!r}; '

@@ -48,8 +48,11 @@ def run_sweeps(wf, params: Params, state: SamplerState,
         raise ValueError('fast_ar requires an AutoregressiveSpinModel '
                          '(bare or as the modulus of a complex-phase '
                          'wavefunction)')
-    if num_sweeps <= 0:
-        return state
+    # NOTE: no num_sweeps <= 0 shortcut — a fresh i.i.d. draw is always
+    # correct and free, and the epoch loops call sweeps(...,
+    # num_monte_carlo_sweeps) BETWEEN batch collections: returning the
+    # state unchanged there would silently duplicate batches when a user
+    # sets the (irrelevant-for-AR) sweep counts to zero.
 
     def split_one(k):
         nxt, draw = jax.random.split(k)

@@ -154,9 +154,17 @@ def _register_builtins() -> None:
                        supports=mtm_supports, make=mtm_make)
 
     def ar_supports(wf, config):
-        # Exact ancestral sampling replaces Metropolis entirely for
-        # autoregressive ansatzes (any move type is irrelevant — draws
-        # are i.i.d. from the normalized |psi|^2).
+        # Exact ancestral sampling replaces Metropolis for autoregressive
+        # ansatzes — but only within the move semantics it reproduces:
+        # the AR conditionals are Sz=0-sector-projected, i.e. the
+        # exchange-move state space.  A 'flip' (full 2^N space) config
+        # must fall through to the generic sampler, and the
+        # use_fast_sampler knob must be able to force the Metropolis
+        # baseline (same contract as every other automatic entry).
+        if not _exchange_only(config):
+            return False
+        if not getattr(config, 'use_fast_sampler', True):
+            return False
         from cgs_vmc_tpu.sampler import fast_ar
         return fast_ar.supports(wf)
 

@@ -118,6 +118,28 @@ def _maybe_add_ema_slot(state: TrainState, config: Config) -> TrainState:
     return state._replace(extra={**state.extra, 'ema_params': ema})
 
 
+def _restore_for_resume(latest: str, state: TrainState,
+                        config: Config) -> TrainState:
+    """restore_checkpoint, tolerating an EMA slot newly enabled on an
+    existing run: old checkpoints have no extra['ema_params'], so the
+    slotted template fails structure matching — restore onto the
+    slotless template instead and start the average at the restored
+    params."""
+    try:
+        return ckpt_lib.restore_checkpoint(latest, state)
+    except (ValueError, KeyError):
+        decay = getattr(config, 'param_ema_decay', 0.0)
+        if not decay or 'ema_params' not in state.extra:
+            raise
+        base_extra = {k: v for k, v in state.extra.items()
+                      if k != 'ema_params'}
+        restored = ckpt_lib.restore_checkpoint(
+            latest, state._replace(extra=base_extra))
+        ema = jax.tree.map(jnp.copy, restored.params)
+        return restored._replace(
+            extra={**restored.extra, 'ema_params': ema})
+
+
 def _scan_epochs(epoch, k: int):
     """k epochs as ONE traced program; metrics gain a leading [k] axis.
 
@@ -194,7 +216,7 @@ def train(config: Config, resume: bool = False,
     if resume and out_dir:
         latest = ckpt_lib.latest_checkpoint(out_dir)
         if latest:
-            state = ckpt_lib.restore_checkpoint(latest, state)
+            state = _restore_for_resume(latest, state, config)
             start_epoch = ckpt_lib.checkpoint_epoch(latest)
             print(f'Resumed from {latest} (epoch {start_epoch})')
 
@@ -287,7 +309,7 @@ def distill(config: Config, resume: bool = False,
     if resume and out_dir:
         latest = ckpt_lib.latest_checkpoint(out_dir)
         if latest:
-            state = ckpt_lib.restore_checkpoint(latest, state)
+            state = _restore_for_resume(latest, state, config)
             start_epoch = ckpt_lib.checkpoint_epoch(latest)
             print(f'Resumed from {latest} (epoch {start_epoch})')
 

@@ -182,3 +182,27 @@ def test_complex_made_modulus_exact_sampling_frustrated():
     final = np.mean(energies[-10:])
     assert abs(final - e0) / abs(e0) < 0.02, f'E={final} vs {e0}'
     assert float(metrics['acceptance_rate']) == 1.0
+
+
+def test_ar_dispatch_respects_knobs():
+    """use_fast_sampler=False and non-exchange moves fall through to the
+    generic sampler (the AR conditionals are Sz-sector-projected, so a
+    full-space 'flip' config must not be silently replaced)."""
+    wf, params = _setup(seed=12)
+    base = Config(num_sites=N, wavefunction_type='made')
+    assert registry.resolved_name(wf, base) == 'exact_autoregressive'
+    assert registry.resolved_name(
+        wf, base.replace(use_fast_sampler=False)) == 'generic'
+    assert registry.resolved_name(
+        wf, base.replace(mc_move_type='flip')) == 'generic'
+
+
+def test_ar_zero_sweeps_still_redraws():
+    """sweeps(..., 0) must NOT be a no-op for the exact sampler: epoch
+    loops call it between batch collections, and an unchanged state would
+    silently duplicate batches."""
+    wf, params = _setup(seed=13)
+    state = metropolis.init_sampler(jax.random.key(14), wf, params, N, 16)
+    out = fast_ar.run_sweeps(wf, params, state, 0)
+    assert not np.array_equal(np.asarray(out.configs),
+                              np.asarray(state.configs))

@@ -216,3 +216,24 @@ def test_param_ema_tracks_and_resumes(tmp_path):
         np.asarray(jax.flatten_util.ravel_pytree(
             s1.extra['ema_params'])[0]),
         np.asarray(jax.flatten_util.ravel_pytree(want)[0]), rtol=1e-6)
+
+
+def test_param_ema_enabled_on_resume_of_old_run(tmp_path):
+    """Turning param_ema_decay on for an EXISTING run must resume cleanly:
+    the old checkpoint has no EMA slot, so the restore falls back to the
+    slotless template and seeds the average at the restored params."""
+    base = dict(num_sites=8, wavefunction_type='rbm',
+                num_fc_layers=0, fc_layer_size=8,
+                wavefunction_optimizer_type='EnergyGradient',
+                batch_size=32, num_batches_per_epoch=1,
+                num_equilibration_sweeps=1, num_monte_carlo_sweeps=1,
+                checkpoint_frequency=2,
+                learning_rates=[0.05], learning_rate_stops=[],
+                optimizer='gradient', heisenberg_jx=-1.0,
+                use_fast_sampler=False,
+                checkpoint_dir=str(tmp_path), seed=3)
+    from cgs_vmc_tpu.train import train
+    train(Config(num_epochs=2, param_ema_decay=0.0, **base))
+    state = train(Config(num_epochs=4, param_ema_decay=0.8, **base),
+                  resume=True)
+    assert 'ema_params' in state.extra
