@@ -39,6 +39,7 @@ from cgs_vmc_tpu.models.graph_conv import GraphConvNetwork
 from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
 from cgs_vmc_tpu.models.jastrow import JastrowWavefunction
 from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
+from cgs_vmc_tpu.models.pixelcnn import MaskedConv2DAutoregressive
 
 
 COMPOSITE_TYPES = ('sum', 'diff', 'prod', 'complex')
@@ -94,4 +95,5 @@ __all__ = [
     'MatrixProductState', 'ProjectedBDG', 'FullyConnectedNNB',
     'FullVector', 'GraphConvNetwork', 'ComplexPhaseWavefunction',
     'JastrowWavefunction', 'AutoregressiveSpinModel',
+    'MaskedConv2DAutoregressive',
 ]

@@ -206,3 +206,103 @@ def test_ar_zero_sweeps_still_redraws():
     out = fast_ar.run_sweeps(wf, params, state, 0)
     assert not np.array_equal(np.asarray(out.configs),
                               np.asarray(state.configs))
+
+
+# ---------------------------------------------------------------------------
+# PixelCNN (2-D masked-conv autoregressive, models/pixelcnn.py): same
+# exactness oracles as MADE — normalization + causality are inherited
+# properties but the masks are new code.
+
+def _setup_pixelcnn(seed=0, sx=4, sy=2, layers=2, filters=6):
+    from cgs_vmc_tpu.models.pixelcnn import MaskedConv2DAutoregressive
+    wf = MaskedConv2DAutoregressive(sx, sy, num_layers=layers,
+                                    num_filters=filters, kernel_size=3)
+    params = wf.init(jax.random.key(seed))
+    params = jax.tree.map(
+        lambda p: p + 0.3 * jax.random.normal(
+            jax.random.key(hash(p.shape) % 997), p.shape), params)
+    return wf, params
+
+
+def test_pixelcnn_normalized_on_sector():
+    wf, params = _setup_pixelcnn(seed=1)
+    states = jnp.asarray(basis.enumerate_sz_basis(8))
+    log = np.asarray(wf.apply(params, states).log, np.float64)
+    np.testing.assert_allclose(np.exp(2 * log).sum(), 1.0, rtol=1e-5)
+
+
+def test_pixelcnn_raster_causality():
+    """logit_i must not depend on s_j for j >= i in raster order
+    (site = x*size_y + y) — the mask-A/mask-B construction."""
+    wf, params = _setup_pixelcnn(seed=2, sx=4, sy=4, layers=3)
+    n = 16
+    s = jnp.asarray(basis.random_configurations(jax.random.key(3), n, 4))
+    base = np.asarray(wf._logits(params, s))
+    for j in range(n):
+        flipped = s.at[:, j].multiply(-1.0)
+        out = np.asarray(wf._logits(params, flipped))
+        np.testing.assert_allclose(out[:, :j + 1], base[:, :j + 1],
+                                   atol=1e-6)
+
+
+def test_pixelcnn_sampling_and_dispatch():
+    wf, params = _setup_pixelcnn(seed=4)
+    cfg = Config(num_sites=8, size_x=4, size_y=2,
+                 wavefunction_type='pixelcnn', num_conv_layers=2,
+                 num_conv_filters=6, kernel_size=3)
+    assert registry.resolved_name(wf, cfg) == 'exact_autoregressive'
+    keys = jax.random.split(jax.random.key(5), 256)
+    configs = wf.sample(params, keys)
+    np.testing.assert_array_equal(np.asarray(configs.sum(-1)),
+                                  np.zeros(256))
+    # Draws match |psi|^2 over the enumerated sector.
+    states = jnp.asarray(basis.enumerate_sz_basis(8))
+    log = np.asarray(wf.apply(params, states).log, np.float64)
+    exact = np.exp(2 * log)
+    top, bot = basis.make_lin_tables(8)
+    all_lin = np.asarray(basis.lin_index(states, top, bot))
+    enum_of_lin = np.empty_like(all_lin)
+    enum_of_lin[all_lin] = np.arange(len(all_lin))
+    draws = 8000
+    keys = jax.random.split(jax.random.key(6), draws)
+    idx = np.asarray(basis.lin_index(wf.sample(params, keys), top, bot))
+    counts = np.zeros(states.shape[0])
+    np.add.at(counts, enum_of_lin[idx], 1)
+    tv = 0.5 * np.abs(counts / draws - exact).sum()
+    assert tv < 0.05, f'TV distance {tv}'
+
+
+def test_pixelcnn_trains_on_4x4():
+    """MCMC-free SR on the Marshall-gauged 4x4 square lattice."""
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
+    from cgs_vmc_tpu.utils import ed
+
+    cfg = Config(num_sites=16, size_x=4, size_y=4,
+                 wavefunction_type='pixelcnn', num_conv_layers=3,
+                 num_conv_filters=12, kernel_size=3,
+                 wavefunction_optimizer_type='SR',
+                 batch_size=256, num_batches_per_epoch=1,
+                 num_equilibration_sweeps=1, num_monte_carlo_sweeps=1,
+                 learning_rates=[0.1, 0.05, 0.02],
+                 learning_rate_stops=[80, 140],
+                 optimizer='gradient', heisenberg_jx=-1.0,
+                 sr_diag_shift=1e-3, sr_solver='dense',
+                 sr_delta_clip=1.0, seed=1)
+    wf = build_wavefunction(cfg)
+    ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(4, 4),
+                                -1.0, 1.0)
+    opt = GROUND_STATE_OPTIMIZERS['SR'](wf, ham, cfg)
+    state = opt.init_state(jax.random.key(cfg.seed))
+    epoch = jax.jit(opt.epoch)
+    energies = []
+    for _ in range(200):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    e0, _ = ed.ground_state(16, lattice.square_lattice_bonds(4, 4),
+                            -1.0, 1.0)
+    late = np.mean(energies[-10:])
+    rel = abs(late - e0) / abs(e0)
+    # Measured 0.038 at 200 epochs (modest net, blind-spot context);
+    # the bound guards learning, not a variational floor.
+    assert rel < 0.06, f'pixelcnn SR stalled at rel err {rel}'
