@@ -134,7 +134,24 @@ class AutoregressiveSpinModel(Wavefunction):
 
     def sample(self, params: Params, keys: jax.Array) -> jax.Array:
         """Exact ancestral draws, one per key: [batch, n] +-1 configs in
-        the Sz=0 sector, distributed exactly as |psi|^2."""
+        the Sz=0 sector, distributed exactly as |psi|^2.
+
+        Single-hidden-layer models take an incremental path: the
+        first-layer preactivation is rank-1-updated as each spin lands
+        (z += s_i * W1[i]) and only logit_i's output column is formed —
+        O(hidden) per site instead of the O(n*hidden) full forward.  The
+        conditionals (and therefore the draws, bitwise up to reduction
+        order) are identical; tests/test_autoregressive.py pins the two
+        paths against each other.
+        """
+        if (type(self) is AutoregressiveSpinModel
+                and self.num_hidden_layers == 1):
+            return self._sample_incremental(params, keys)
+        return self._sample_generic(params, keys)
+
+    def _sample_generic(self, params: Params, keys: jax.Array) -> jax.Array:
+        """Reference ancestral path: one full `_logits` forward per site
+        (works for any subclass — PixelCNN reuses it unchanged)."""
         n = self.num_sites
 
         def one(key):
@@ -156,6 +173,37 @@ class AutoregressiveSpinModel(Wavefunction):
             init = (jnp.zeros((n,), jnp.float32), jnp.asarray(0.0))
             (s, _), _ = jax.lax.scan(step, init, jnp.arange(n))
             return s
+
+        return jax.vmap(one)(keys)
+
+    def _sample_incremental(self, params: Params, keys: jax.Array
+                            ) -> jax.Array:
+        """O(hidden)-per-site ancestral draws for 1-hidden-layer MADE."""
+        n = self.num_sites
+        act = logamp.ACTIVATIONS[self.nonlinearity]
+        l0, l1 = params['dense_0'], params['dense_1']
+        w1 = l0['w'] * self.masks[0]             # [n, H] masked
+        w2 = l1['w'] * self.masks[1]             # [H, n] masked
+
+        def one(key):
+            site_keys = jax.random.split(key, n)
+
+            def step(carry, i):
+                z, u = carry                     # z: [H] preactivation
+                logit_i = act(z) @ w2[:, i] + l1['b'][i]
+                ups_left = 0.5 * n - u
+                remaining = jnp.asarray(n, jnp.float32) - i
+                p_up = jax.nn.sigmoid(logit_i)
+                p_up = jnp.where(ups_left >= remaining, 1.0,
+                                 jnp.where(ups_left <= 0.0, 0.0, p_up))
+                spin = jnp.where(
+                    jax.random.uniform(site_keys[i]) < p_up, 1.0, -1.0)
+                z = z + spin * w1[i]
+                return (z, u + (spin > 0)), spin
+
+            init = (l0['b'].astype(jnp.float32), jnp.asarray(0.0))
+            _, spins = jax.lax.scan(step, init, jnp.arange(n))
+            return spins
 
         return jax.vmap(one)(keys)
 

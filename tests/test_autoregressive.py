@@ -306,3 +306,18 @@ def test_pixelcnn_trains_on_4x4():
     # Measured 0.038 at 200 epochs (modest net, blind-spot context);
     # the bound guards learning, not a variational floor.
     assert rel < 0.06, f'pixelcnn SR stalled at rel err {rel}'
+
+
+def test_incremental_sampler_matches_generic():
+    """The O(hidden)-per-site incremental path (1 hidden layer) must draw
+    the SAME configurations as the full-forward generic path for the same
+    keys — the conditionals are algebraically identical."""
+    wf, params = _setup(seed=15, hidden=32, layers=1)
+    keys = jax.random.split(jax.random.key(16), 512)
+    inc = np.asarray(wf._sample_incremental(params, keys))
+    gen = np.asarray(wf._sample_generic(params, keys))
+    agree = np.mean(np.all(inc == gen, axis=-1))
+    # f32 reassociation can flip a knife-edge Bernoulli draw on rare
+    # chains; demand near-total agreement.
+    assert agree > 0.99, f'incremental/generic agreement {agree}'
+    assert wf.sample(params, keys).shape == (512, N)
