@@ -40,7 +40,7 @@ ALL_TYPES = sorted(set(WAVEFUNCTION_TYPES) - {'ed_vector'})
 @pytest.mark.parametrize('wf_type', ALL_TYPES)
 def test_every_registered_ansatz_applies(wf_type):
     kwargs = {}
-    if wf_type in ('conv_2d', 'res_net_2d'):
+    if wf_type in ('conv_2d', 'res_net_2d', 'pixelcnn'):
         kwargs = dict(size_x=4, size_y=2)
     config = _config(wf_type, **kwargs)
     wf = build_wavefunction(config)
