@@ -44,6 +44,9 @@ cfg = Config(num_sites=N, size_x=12, size_y=12,
              sr_diag_shift=1e-2, sr_solver='sample_cg', sr_delta_clip=1.0,
              sr_reject_residual=0.5, sr_jacobian_chunk=256,
              sr_cg_tol=1e-5, sr_cg_maxiter=200,
+             # CGS_FASTJAC=0 falls back to vmap(grad) rows if the im2col
+             # fast path proves too HBM-hungry at this size.
+             sr_fast_jacobian=bool(int(os.environ.get('CGS_FASTJAC', '1'))),
              symmetrize=True, seed=41)
 END = 1400
 bonds = lattice.square_lattice_bonds(12, 12)
