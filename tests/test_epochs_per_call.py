@@ -106,3 +106,22 @@ def test_scanned_epochs_compose_with_param_ema(tmp_path):
     ek = [np.asarray(x) for x in jax.tree.leaves(statek.extra['ema_params'])]
     for a, b in zip(e1, ek):
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_param_ema_on_mesh(tmp_path):
+    """The EMA wrapper composes with the shard_map epoch: the slot rides
+    extra (replicated), updates every epoch, and matches the
+    single-device EMA for the same total chains."""
+    import jax
+    cfg1 = _config(tmp_path, 'ema_1dev', num_epochs=3, param_ema_decay=0.7,
+                   batch_size=16 * 8)
+    cfg8 = _config(tmp_path, 'ema_8dev', num_epochs=3, param_ema_decay=0.7,
+                   num_devices=8, batch_size=16 * 8)
+    s1 = train(cfg1)
+    s8 = train(cfg8)
+    e1 = np.concatenate([np.asarray(x).ravel() for x in
+                         jax.tree.leaves(s1.extra['ema_params'])])
+    e8 = np.concatenate([np.asarray(x).ravel() for x in
+                         jax.tree.leaves(s8.extra['ema_params'])])
+    assert np.all(np.isfinite(e8))
+    np.testing.assert_allclose(e8, e1, rtol=2e-4, atol=2e-5)
