@@ -123,3 +123,14 @@ def test_sr_epoch_equivalent(symmetrize, solver):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(float(outs[0][1]), float(outs[1][1]),
                                rtol=1e-5)
+
+
+def test_deep_seven_layer_rows_match():
+    # The 12x12 deep recipe's shape class (7 conv layers, symmetrized,
+    # sample_cg) at test size: rows must match vmap(grad) and the chunked
+    # path must agree with the unchunked one.
+    cfg = Config(num_sites=16, size_x=4, size_y=4,
+                 wavefunction_type='conv_2d', num_conv_layers=7,
+                 num_conv_filters=6, kernel_size=3, symmetrize=True)
+    _check(cfg, batch=20, chunk=8)
+    _check(cfg, batch=20, chunk=0)
