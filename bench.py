@@ -225,6 +225,32 @@ def bench_flagship_sr_epoch():
     }
 
 
+def bench_made_exact_sampling():
+    """i.i.d. ancestral draws/s from the 36-site MADE ansatz (H=64,
+    incremental path) — the MCMC-free sampling capability; each draw is
+    an INDEPENDENT sample, so these are not comparable to Metropolis
+    sweeps (which need many sweeps per decorrelated sample)."""
+    from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
+    wf = AutoregressiveSpinModel(N_SITES, hidden=64, num_hidden_layers=1)
+    params = wf.init(jax.random.key(11))
+    batch = 2048
+
+    @jax.jit
+    def draw(key):
+        return wf.sample(params, jax.random.split(key, batch))
+
+    out = draw(jax.random.key(0))
+    jax.block_until_ready(out)
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = draw(jax.random.key(rep + 1))
+        _ = float(out[0, 0])                    # device->host read
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[1]
+    return {'made_exact_samples_per_sec': round(batch / med, 1)}
+
+
 def main():
     sweeps_per_sec, kernel_extra = bench_rbm_kernel()
     extra = {
@@ -240,6 +266,10 @@ def main():
         extra.update(bench_flagship_sr_epoch())
     except Exception as err:  # the primary metric must still print
         extra['sr_epoch_error'] = f'{type(err).__name__}: {err}'[:200]
+    try:
+        extra.update(bench_made_exact_sampling())
+    except Exception as err:
+        extra['made_error'] = f'{type(err).__name__}: {err}'[:200]
 
     print(json.dumps({
         'metric': 'metropolis_sweeps_per_sec_per_chip_6x6_rbm_2048chains',
