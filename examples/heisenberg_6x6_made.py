@@ -26,12 +26,15 @@ N = 36
 E_REF = -0.678872 * N
 cfg = Config(num_sites=N, size_x=6, size_y=6,
              wavefunction_type='made',
-             num_fc_layers=2, fc_layer_size=256,
+             # 1 hidden layer keeps the O(hidden)-per-site incremental
+             # ancestral sampler; a 0.1 lr start risks the AR
+             # mode-collapse measured on the complex composite.
+             num_fc_layers=1, fc_layer_size=256,
              wavefunction_optimizer_type='SR',
              batch_size=1024, num_batches_per_epoch=4,
              num_equilibration_sweeps=1, num_monte_carlo_sweeps=1,
-             learning_rates=[0.1, 0.05, 0.02, 0.008],
-             learning_rate_stops=[150, 350, 550],
+             learning_rates=[0.05, 0.02, 0.008],
+             learning_rate_stops=[200, 450],
              optimizer='gradient', heisenberg_jx=-1.0,
              sr_diag_shift=1e-3, sr_solver='dense', sr_delta_clip=1.0,
              energy_chunk_samples=256, sr_jacobian_chunk=512, seed=17)
