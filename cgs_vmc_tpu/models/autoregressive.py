@@ -103,8 +103,16 @@ class AutoregressiveSpinModel(Wavefunction):
                            ) -> jax.Array:
         """log p(s_i | s_<i) at the realized s_i, [batch, n], with the
         exact Sz=0 sector projection folded into each conditional."""
-        n = self.num_sites
-        logits = self._logits(params, configs)
+        return self.conditional_log_p_from_logits(
+            self._logits(params, configs), configs)
+
+    @staticmethod
+    def conditional_log_p_from_logits(logits: jax.Array,
+                                      configs: jax.Array) -> jax.Array:
+        """Sector-projected conditional log-probs given precomputed
+        logits (static: reusable by alternative logits computations,
+        e.g. the per-sample-weights fast-Jacobian path)."""
+        n = configs.shape[-1]
         s = configs.astype(jnp.float32)
         up = (s > 0).astype(jnp.float32)
         # ups placed strictly before site i.

@@ -134,3 +134,41 @@ def test_deep_seven_layer_rows_match():
                  num_conv_filters=6, kernel_size=3, symmetrize=True)
     _check(cfg, batch=20, chunk=8)
     _check(cfg, batch=20, chunk=0)
+
+
+def test_pixelcnn_rows_match():
+    # Masked-conv autoregressive family: zero-pad im2col + the
+    # sector-projected chain-rule head.
+    cfg = Config(num_sites=16, size_x=4, size_y=4,
+                 wavefunction_type='pixelcnn', num_conv_layers=3,
+                 num_conv_filters=6, kernel_size=3)
+    _check(cfg, batch=24, chunk=0)
+    _check(cfg, batch=20, chunk=8)
+
+
+def test_pixelcnn_sr_epoch_equivalent():
+    """One dense-SR epoch on the AR ansatz: fast rows == vmap(grad)."""
+    base = dict(num_sites=16, size_x=4, size_y=4,
+                wavefunction_type='pixelcnn', num_conv_layers=2,
+                num_conv_filters=6, kernel_size=3,
+                wavefunction_optimizer_type='SR', batch_size=32,
+                num_batches_per_epoch=2, num_equilibration_sweeps=1,
+                num_monte_carlo_sweeps=1, optimizer='gradient',
+                learning_rates=[0.02], learning_rate_stops=[],
+                heisenberg_jx=-1.0, sr_solver='dense',
+                sr_diag_shift=1e-2, sr_delta_clip=1.0, seed=3)
+    outs = []
+    for fast in (True, False):
+        cfg = Config(sr_fast_jacobian=fast, **base)
+        wf = build_wavefunction(cfg)
+        ham = build_hamiltonian(cfg)
+        opt = StochasticReconfiguration(wf, ham, cfg)
+        state = opt.init_state(jax.random.key(cfg.seed))
+        state, metrics = jax.jit(opt.epoch)(state)
+        outs.append((jax.flatten_util.ravel_pytree(state.params)[0],
+                     metrics['energy']))
+    np.testing.assert_allclose(np.asarray(outs[0][0]),
+                               np.asarray(outs[1][0]),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(outs[0][1]), float(outs[1][1]),
+                               rtol=1e-5)
