@@ -181,3 +181,24 @@ def test_jastrow_trains_toward_ground_state():
     late = np.mean(energies[-10:])
     rel = abs(late - e0) / abs(e0)
     assert rel < 0.05, f'Jastrow stalled at rel err {rel}'
+
+
+def test_jastrow_network_product_composite():
+    """The standard Jastrow x network construction through the 'prod'
+    composite builds, applies finitely, and matches the sum of the
+    factors' logs."""
+    cfg = Config(num_sites=16, size_x=4, size_y=4,
+                 wavefunction_type='prod',
+                 composite_wavefunction_types=('jastrow', 'conv_2d'),
+                 composite_output_activations=('exp', 'exp'),
+                 num_conv_layers=2, num_conv_filters=6, kernel_size=3)
+    wf = build_wavefunction(cfg)
+    params = wf.init(jax.random.key(0))
+    configs = basis.random_configurations(jax.random.key(1), 16, 12)
+    amp = wf.apply(params, configs)
+    assert np.isfinite(np.asarray(amp.log)).all()
+    # Product in log domain: log|psi| = log|psi_a| + log|psi_b|.
+    log_a = wf._wf_a.apply(params['a'], configs).log
+    log_b = wf._wf_b.apply(params['b'], configs).log
+    np.testing.assert_allclose(np.asarray(amp.log),
+                               np.asarray(log_a + log_b), rtol=1e-6)
