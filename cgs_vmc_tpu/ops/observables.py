@@ -27,7 +27,9 @@ class SzSzCorrelation(Operator):
         pairs = np.asarray(pairs, dtype=np.int32)
         if pairs.ndim != 2 or pairs.shape[1] != 2:
             raise ValueError(f'pairs must be [n_pairs, 2], got {pairs.shape}')
-        self.pairs = jnp.asarray(pairs)
+        # Host numpy, not device-resident (DEVELOPMENT.md constant rule):
+        # static indices lower from host memory unconditionally.
+        self.pairs = pairs
 
     def local_value(self, wf: Wavefunction, params: Params,
                     configs: jax.Array, amp: Optional[LogAmp] = None
@@ -59,8 +61,8 @@ class SpinStructureFactor(Operator):
                 f'positions must be [n_sites, {q.shape[0]}], '
                 f'got {positions.shape}')
         phase = positions @ q                       # q·rᵢ, [n_sites]
-        self.cos_qr = jnp.asarray(np.cos(phase), jnp.float32)
-        self.sin_qr = jnp.asarray(np.sin(phase), jnp.float32)
+        self.cos_qr = np.cos(phase).astype(np.float32)
+        self.sin_qr = np.sin(phase).astype(np.float32)
 
     def local_value(self, wf: Wavefunction, params: Params,
                     configs: jax.Array, amp: Optional[LogAmp] = None
@@ -133,8 +135,7 @@ class StaggeredMagnetizationSquared(Operator):
     order parameter (diagonal)."""
 
     def __init__(self, sublattice: np.ndarray):
-        self.sublattice = jnp.asarray(
-            np.asarray(sublattice, np.float32))
+        self.sublattice = np.asarray(sublattice, np.float32)
 
     def local_value(self, wf: Wavefunction, params: Params,
                     configs: jax.Array, amp: Optional[LogAmp] = None

@@ -29,10 +29,11 @@ import jax.numpy as jnp
 from cgs_vmc_tpu.models.base import Params, Wavefunction
 
 
-def region_mask(num_sites: int, region: Sequence[int]) -> jax.Array:
+def region_mask(num_sites: int, region: Sequence[int]) -> np.ndarray:
+    # Host numpy, not device-resident (DEVELOPMENT.md constant rule).
     mask = np.zeros(num_sites, dtype=bool)
     mask[np.asarray(region, dtype=np.int64)] = True
-    return jnp.asarray(mask)
+    return mask
 
 
 def swap_values(wf: Wavefunction, params: Params,

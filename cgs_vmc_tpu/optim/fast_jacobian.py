@@ -33,6 +33,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cgs_vmc_tpu.models import nn
 from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
@@ -125,7 +126,8 @@ def _pixelcnn_forward_per_sample(model: MaskedConv2DAutoregressive,
 
 
 def _pixelcnn_rows(model: MaskedConv2DAutoregressive) -> Callable:
-    masks = [jnp.asarray(m.reshape(-1, m.shape[-1])) for m in model.masks]
+    # Host numpy (DEVELOPMENT.md constant rule) — pure GEMM operands.
+    masks = [np.asarray(m).reshape(-1, m.shape[-1]) for m in model.masks]
 
     def one_chunk(params, c_configs):
         c = c_configs.shape[0]

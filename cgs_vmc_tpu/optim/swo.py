@@ -518,7 +518,9 @@ class BasisIterationSWO(_SWOBase):
                 basis_array = basis_lib.load_basis_file(config.basis_file_path)
             else:
                 basis_array = basis_lib.enumerate_sz_basis(config.num_sites)
-        self.basis = jnp.asarray(basis_array, jnp.float32)
+        # Host numpy (DEVELOPMENT.md constant rule); traced gathers use
+        # jnp.take so the table lowers as a host constant.
+        self.basis = np.asarray(basis_array, np.float32)
 
     def init_state(self, key: jax.Array, target_params: Params,
                    n_local_chains: Optional[int] = None) -> TrainState:
@@ -559,7 +561,7 @@ class BasisIterationSWO(_SWOBase):
 
         def batch_step(carry, batch_idx):
             params, opt_state = carry
-            configs = self.basis[batch_idx]
+            configs = jnp.take(self.basis, batch_idx, axis=0)
             amp_t = self.target_wf.apply(target_params, configs)
             psi_target = amp_t.sign * jnp.exp(amp_t.log + half_log2n)
 
