@@ -20,11 +20,12 @@ registry, same signed-logsumexp symmetrization, same dtype casts; rows
 come back in `ravel_pytree(params)` order (asserted in
 tests/test_fast_jacobian.py against vmap(grad) to f32 tolerance).
 
-Supported: Conv2DNetwork, optionally wrapped in SymmetrizedWavefunction
-(site-permutation orbit x global spin flip), stride 1 — the flagship
-family.  `rows_fn_for` returns None for anything else and callers fall
-back to the generic path, mirroring the sampler fast-path registry
-(sampler/fast_paths.py).
+Supported: Conv1DNetwork / Conv2DNetwork / ResNet1D / ResNet2D
+(plain and bottleneck blocks, stride 1), each optionally wrapped in
+SymmetrizedWavefunction (site-permutation orbit x global spin flip),
+plus the masked-conv autoregressive model.  `rows_fn_for` returns None
+for anything else and callers fall back to the generic path, mirroring
+the sampler fast-path registry (sampler/registry.py).
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ import numpy as np
 
 from cgs_vmc_tpu.models import nn
 from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
-from cgs_vmc_tpu.models.conv import Conv2DNetwork
+from cgs_vmc_tpu.models.conv import (Conv1DNetwork, Conv2DNetwork,
+                                     ResNet1D, ResNet2D)
 from cgs_vmc_tpu.models.pixelcnn import MaskedConv2DAutoregressive
 from cgs_vmc_tpu.models.symmetry import SymmetrizedWavefunction
 from cgs_vmc_tpu.ops import logamp
@@ -64,6 +66,120 @@ def _patches_2d_zero(x: jax.Array, kernel: int) -> jax.Array:
     slabs = [padded[:, dh:dh + h, dw:dw + w, :]
              for dh in range(kernel) for dw in range(kernel)]
     return jnp.concatenate(slabs, axis=-1)
+
+
+def _patches_1d(x: jax.Array, kernel: int) -> jax.Array:
+    """Periodic-pad + im2col, 1-D.  x: [N, L, C] -> [N, L, k*C] in the
+    channel-minor (k, ci) order that matches reshaping a WIO kernel to
+    [k*ci, co]."""
+    padded = nn._periodic_pad_1d(x, kernel)
+    length = x.shape[1]
+    slabs = [padded[:, d:d + length, :] for d in range(kernel)]
+    return jnp.concatenate(slabs, axis=-1)
+
+
+def _orbit_of(c_configs: jax.Array, perms, spin_flip: bool) -> jax.Array:
+    """[c, n_sites] -> [c, n_ops, n_sites] symmetry orbit (or trivial)."""
+    if perms is not None:
+        orbit = c_configs[:, perms]
+        if spin_flip:
+            orbit = jnp.concatenate([orbit, -orbit], axis=1)
+    else:
+        orbit = c_configs[:, None, :]
+    return orbit
+
+
+def _symmetrized_head(pre: jax.Array, output_activation: str) -> jax.Array:
+    """[c, n_ops] pre-activations -> log|psi| [c] (signed-logsumexp
+    orbit average, mirroring SymmetrizedWavefunction.apply)."""
+    n_ops = pre.shape[-1]
+    amp = logamp.apply_activation(pre, output_activation)
+    if n_ops == 1:
+        return amp.log[:, 0]
+    avg = logamp.sum_terms(amp.sign, amp.log, axis=-1)
+    return avg.log - jnp.log(float(n_ops))
+
+
+def _ps_conv(patches_fn: Callable, layer: dict, h: jax.Array, c: int,
+             dtype=jnp.float32) -> jax.Array:
+    """Periodic conv with PER-SAMPLE weight copies as a batched GEMM.
+
+    layer['w']: [c, *kernel_dims, cin, cout] (leading per-sample axis),
+    layer['b']: [c, cout]; h: [c*n, *spatial, cin].  Stride 1.
+    """
+    w, b = layer['w'], layer['b']
+    x = patches_fn(h, w.shape[1])
+    cols = x.reshape(c, -1, x.shape[-1])
+    out = jnp.einsum('cok,ckf->cof', cols,
+                     w.reshape(c, -1, w.shape[-1]).astype(dtype),
+                     preferred_element_type=dtype)
+    out = out + b.astype(dtype)[:, None, :]
+    return out.reshape(h.shape[:-1] + (w.shape[-1],))
+
+
+def _conv1d_forward_per_sample(base: Conv1DNetwork, ps, orbit: jax.Array
+                               ) -> jax.Array:
+    """log|psi| [c] for Conv1DNetwork with per-sample weights (mirrors
+    Conv1DNetwork.apply term for term: dtype casts, activation registry,
+    f32 head sum)."""
+    c, n_ops = orbit.shape[0], orbit.shape[1]
+    act = logamp.ACTIVATIONS[base.nonlinearity]
+    dtype = base.compute_dtype
+    h = orbit.reshape(c * n_ops, orbit.shape[-1], 1).astype(dtype)
+    for i in range(base.num_layers):
+        h = _ps_conv(_patches_1d, ps[f'conv_{i}'], h, c, dtype)
+        if i + 1 != base.num_layers:
+            h = act(h).astype(dtype)
+    pre = jnp.sum(h.astype(jnp.float32), axis=(1, 2)).reshape(c, n_ops)
+    return _symmetrized_head(pre, base.output_activation)
+
+
+def _resnet_forward_per_sample(base, ps, orbit: jax.Array, two_d: bool
+                               ) -> jax.Array:
+    """log|psi| [c] for ResNet1D/ResNet2D with per-sample weights
+    (mirrors models/conv.py apply + nn res/bottleneck blocks, stride 1:
+    stem conv, selu two-conv residual blocks or relu 1-k-1 bottleneck
+    blocks with identity shortcuts, f32 throughout)."""
+    c, n_ops = orbit.shape[0], orbit.shape[1]
+    patches_fn = _patches_2d if two_d else _patches_1d
+    if two_d:
+        h = orbit.reshape(c * n_ops, base.size_x, base.size_y, 1)
+    else:
+        h = orbit.reshape(c * n_ops, orbit.shape[-1], 1)
+    h = h.astype(jnp.float32)
+    h = _ps_conv(patches_fn, ps['stem'], h, c)
+    for i in range(base.num_blocks):
+        bp = ps[f'block_{i}']
+        if base.bottleneck:
+            t = jax.nn.relu(_ps_conv(patches_fn, bp['reduce'], h, c))
+            t = jax.nn.relu(_ps_conv(patches_fn, bp['conv'], t, c))
+            t = _ps_conv(patches_fn, bp['expand'], t, c)
+        else:
+            t = jax.nn.selu(_ps_conv(patches_fn, bp['conv1'], h, c))
+            t = _ps_conv(patches_fn, bp['conv2'], t, c)
+        h = t + h
+    pre = jnp.sum(h, axis=tuple(range(1, h.ndim))).reshape(c, n_ops)
+    return _symmetrized_head(pre, base.output_activation)
+
+
+def _tree_rows(forward_fn: Callable) -> Callable:
+    """one_chunk(params, c_configs) from a per-sample-params forward.
+
+    forward_fn(ps, c_configs) -> log|psi| [c], with ps sharing params'
+    pytree structure but a leading per-sample axis on every leaf — so the
+    vjp's grads flatten in ravel_pytree(params) leaf order by construction.
+    """
+    def one_chunk(params, c_configs):
+        c = c_configs.shape[0]
+        ps = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(leaf, (c,) + leaf.shape), params)
+        _, vjp = jax.vjp(lambda p: forward_fn(p, c_configs), ps)
+        (grads,) = vjp(jnp.ones((c,), jnp.float32))
+        leaves = jax.tree_util.tree_leaves(grads)
+        return jnp.concatenate(
+            [leaf.reshape(c, -1).astype(jnp.float32) for leaf in leaves],
+            axis=1)
+    return one_chunk
 
 
 def _forward_per_sample_weights(base: Conv2DNetwork, n_ops: int,
@@ -181,9 +297,10 @@ def rows_fn_for(wf) -> Optional[Callable]:
     Returns fn(params, configs, chunk) -> [batch, P] f32 rows in
     ravel_pytree(params) order.
 
-    Supported families: (symmetrized) Conv2DNetwork, and the masked-conv
-    autoregressive model (same im2col-GEMM trick with zero padding and
-    the sector-projected chain-rule head).
+    Supported families: (symmetrized) Conv1DNetwork / Conv2DNetwork /
+    ResNet1D / ResNet2D at stride 1, and the masked-conv autoregressive
+    model (same im2col-GEMM trick with zero padding and the
+    sector-projected chain-rule head).
     """
     if isinstance(wf, MaskedConv2DAutoregressive):
         return _chunked(_pixelcnn_rows(wf))
@@ -192,10 +309,24 @@ def rows_fn_for(wf) -> Optional[Callable]:
     base = wf
     if isinstance(wf, SymmetrizedWavefunction):
         perms, spin_flip, base = wf.perms, wf.spin_flip, wf._wf
-    if not isinstance(base, Conv2DNetwork):
+    out_act = getattr(base, 'output_activation', None)
+    if out_act not in logamp.ACTIVATIONS and out_act != 'exp':
         return None
-    if base.output_activation not in logamp.ACTIVATIONS and \
-            base.output_activation != 'exp':
+    if isinstance(base, Conv1DNetwork):
+        def conv1d_fwd(ps, c_configs):
+            return _conv1d_forward_per_sample(
+                base, ps, _orbit_of(c_configs, perms, spin_flip))
+        return _chunked(_tree_rows(conv1d_fwd))
+    if isinstance(base, (ResNet1D, ResNet2D)):
+        if base.conv_stride != 1:
+            return None                     # strided shortcut: generic path
+        two_d = isinstance(base, ResNet2D)
+
+        def resnet_fwd(ps, c_configs):
+            return _resnet_forward_per_sample(
+                base, ps, _orbit_of(c_configs, perms, spin_flip), two_d)
+        return _chunked(_tree_rows(resnet_fwd))
+    if not isinstance(base, Conv2DNetwork):
         return None
 
     def rows(params, configs, chunk: int) -> jax.Array:

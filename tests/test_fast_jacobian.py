@@ -31,7 +31,7 @@ def _reference_rows(wf, params, configs, chunk):
     return np.asarray(_jacobian_rows(single_log, flat, configs, chunk))
 
 
-def _check(cfg, batch=24, chunk=0, seed=0):
+def _check(cfg, batch=24, chunk=0, seed=0, kink_frac=0.0):
     wf = build_wavefunction(cfg)
     params = wf.init(jax.random.key(seed))
     configs = basis.random_configurations(jax.random.key(seed + 1),
@@ -42,7 +42,21 @@ def _check(cfg, batch=24, chunk=0, seed=0):
     want = _reference_rows(wf, params, configs, chunk)
     assert got.shape == want.shape
     scale = np.abs(want).max() + 1e-12
-    np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=2e-4)
+    if kink_frac:
+        # selu/relu derivative kinks (the ResNet blocks): f32 roundoff
+        # between the conv lowering and the im2col GEMM can flip the
+        # activation branch for pre-activations within eps of zero, so
+        # O(1) relative differences on the touched entries are
+        # legitimate subgradient disagreements, not bugs.  Require all
+        # but a tiny fraction of entries to match, plus global L2
+        # agreement.
+        tol = 3e-5 * scale + 2e-4 * np.abs(want)
+        frac = float((np.abs(got - want) > tol).mean())
+        assert frac <= kink_frac, f'violating fraction {frac}'
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 2e-3, f'global L2 rel diff {rel}'
+    else:
+        np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=2e-4)
 
 
 def test_base_conv_rows_match():
@@ -172,3 +186,52 @@ def test_pixelcnn_sr_epoch_equivalent():
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(float(outs[0][1]), float(outs[1][1]),
                                rtol=1e-5)
+
+
+def test_conv1d_rows_match():
+    _check(Config(num_sites=12, wavefunction_type='conv_1d',
+                  num_conv_layers=3, num_conv_filters=6, kernel_size=3))
+
+
+def test_conv1d_even_kernel_rows_match():
+    # 1-D even kernels pad left k/2, right k/2-1 (MIRRORED vs 2-D);
+    # _patches_1d reuses nn._periodic_pad_1d so rows must agree.
+    _check(Config(num_sites=12, wavefunction_type='conv_1d',
+                  num_conv_layers=2, num_conv_filters=5, kernel_size=4),
+           batch=20, chunk=8)
+
+
+def test_resnet1d_rows_match():
+    _check(Config(num_sites=12, wavefunction_type='res_net_1d',
+                  num_resnet_blocks=2, num_conv_filters=6, kernel_size=3),
+           kink_frac=0.005)
+
+
+def test_resnet1d_bottleneck_rows_match():
+    _check(Config(num_sites=12, wavefunction_type='res_net_1d',
+                  num_resnet_blocks=2, num_conv_filters=6, kernel_size=3,
+                  resnet_bottleneck=True), kink_frac=0.005)
+
+
+def test_resnet2d_symmetrized_rows_match():
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='res_net_2d', num_resnet_blocks=2,
+                  num_conv_filters=6, kernel_size=3, symmetrize=True),
+           batch=20, chunk=8, kink_frac=0.005)
+
+
+def test_resnet2d_bottleneck_rows_match():
+    _check(Config(num_sites=16, size_x=4, size_y=4,
+                  wavefunction_type='res_net_2d', num_resnet_blocks=2,
+                  num_conv_filters=8, kernel_size=3,
+                  resnet_bottleneck=True), kink_frac=0.005)
+
+
+def test_strided_resnet_falls_back():
+    # Strided shortcuts change the spatial shape mid-stack; the im2col
+    # path only supports stride 1 and must defer to vmap(grad).
+    wf = build_wavefunction(Config(
+        num_sites=16, size_x=4, size_y=4, wavefunction_type='res_net_2d',
+        num_resnet_blocks=1, num_conv_filters=4, kernel_size=3,
+        conv_strides=2))
+    assert fast_jacobian.rows_fn_for(wf) is None
