@@ -118,7 +118,10 @@ def main(argv=None) -> int:
              "momentum in units of pi; qy required iff the lattice is "
              "2-D), or "
              "'renyi2:<i>-<j>' (Renyi-2 entanglement entropy of sites "
-             'i..j via the two-replica swap estimator).')
+             'i..j via the two-replica swap estimator), or '
+             "'lanczos' (single Lanczos-step energy E(alpha*) of "
+             '(1+aH)|psi> plus zero-variance extrapolation — a '
+             'measurement-time variational improvement, ops/lanczos.py).')
 
     p_dump = sub.add_parser(
         'dump', help='Write full-basis wavefunction amplitudes to a file.')
@@ -223,6 +226,20 @@ def main(argv=None) -> int:
                 region = list(range(lo, hi + 1))
                 s2, err = evaluate_renyi2(wf, params, region, config)
                 print(f'Renyi-2 S2(sites {lo}..{hi}): {s2} +/- {err}')
+                return 0
+            if observable == 'lanczos':
+                from cgs_vmc_tpu.ops.lanczos import evaluate_lanczos
+                res = evaluate_lanczos(
+                    wf, params, hamiltonian, config,
+                    sample_chunk=config.energy_chunk_samples,
+                    energy_shift='auto')
+                print(f'Energy <H>: {res.e0} +/- {res.e0_err}')
+                print(f'Lanczos step alpha*: {res.alpha}')
+                print(f'Lanczos energy E(alpha*): {res.energy} +/- '
+                      f'{res.energy_err}')
+                print(f'Variance: {res.variance0} -> {res.variance_alpha}')
+                print(f'Zero-variance extrapolation: {res.extrapolated}')
+                print(f'Acceptance rate: {res.acceptance_rate:.4f}')
                 return 0
             if observable == 'energy':
                 operator, label = hamiltonian, 'Energy'
