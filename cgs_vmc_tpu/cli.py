@@ -234,7 +234,9 @@ def main(argv=None) -> int:
                     sample_chunk=config.energy_chunk_samples,
                     energy_shift='auto')
                 print(f'Energy <H>: {res.e0} +/- {res.e0_err}')
-                print(f'Lanczos step alpha*: {res.alpha}')
+                print(f'Lanczos step alpha* (of 1 + aH): '
+                      f'{res.alpha_physical}  [shifted-basis '
+                      f'a\'={res.alpha}, shift={res.shift}]')
                 print(f'Lanczos energy E(alpha*): {res.energy} +/- '
                       f'{res.energy_err}')
                 print(f'Variance: {res.variance0} -> {res.variance_alpha}')

@@ -107,18 +107,26 @@ def lanczos_variance(alpha: float, h: Tuple[float, float, float, float]
     return hsq - e * e
 
 
-def optimal_alpha(h: Tuple[float, float, float, float]) -> float:
+def optimal_alpha(h: Tuple[float, float, float, float],
+                  var_floor: float = 0.0) -> float:
     """argmin_a E(a): dE/da = 0 reduces to the quadratic
 
         (h1 h3 - h2^2) a^2 + (h3 - h1 h2) a + (h2 - h1^2) = 0.
 
     Picks the real root with positive norm D(a) and the lower E(a);
     returns 0 when the state is (numerically) an eigenstate (variance
-    h2 - h1^2 ~ 0, where the quadratic degenerates)."""
+    h2 - h1^2 ~ 0, where the quadratic coefficients are pure noise).
+
+    var_floor: treat var0 <= var_floor as the eigenstate case.  Callers
+    with SHIFTED moments must pass it: under a shift of ~<H> every
+    moment is O(sigma^p), so the relative guard below (against the
+    moments' own scale) can never fire — the floor has to come from
+    outside knowledge (estimator noise, or eps_f32 * E^2;
+    result_from_values derives one)."""
     h1, h2, h3, _ = h
     var0 = h2 - h1 * h1
     scale = max(abs(h2), h1 * h1, 1e-30)
-    if var0 <= 1e-12 * scale:
+    if var0 <= max(1e-12 * scale, var_floor):
         return 0.0
     a = h1 * h3 - h2 * h2
     b = h3 - h1 * h2
@@ -143,38 +151,98 @@ def optimal_alpha(h: Tuple[float, float, float, float]) -> float:
 
 
 class LanczosResult(NamedTuple):
-    e0: float                 # <H> of |psi> (h1)
+    """Basis convention: `e0`, `energy`, `extrapolated` are energies of
+    the PHYSICAL H (shift added back); `moments`, `values`, and `alpha`
+    live in the recorded H' = H - `shift` basis, so the internal
+    invariant is lanczos_energy(alpha, moments) + shift == energy.  Use
+    `alpha_physical` for the coefficient of the (1 + a H) state."""
+    e0: float                 # <H> of |psi> (h1 + shift)
     e0_err: float
-    alpha: float              # optimal Lanczos coefficient
+    alpha: float              # optimal coefficient of (1 + a (H - shift))
     energy: float             # E(alpha) — the improved variational energy
-    energy_err: float         # jackknife over recorded samples
-    variance0: float          # sigma^2 of |psi>
+    energy_err: float         # block-jackknife over recorded samples
+    variance0: float          # sigma^2 of |psi> (shift-invariant)
     variance_alpha: float     # sigma^2 of |psi_alpha>
     extrapolated: float       # two-point E(sigma^2 -> 0)
-    moments: Tuple[float, float, float, float]
+    moments: Tuple[float, float, float, float]   # of H - shift
     values: np.ndarray        # [num_samples, 4] recorded batch means
     acceptance_rate: float
+    shift: float = 0.0        # the energy shift the moments carry
+
+    @property
+    def alpha_physical(self) -> float:
+        """Coefficient of (1 + a H)|psi> spanning the same state:
+        1 + a'(H - s) = (1 - a's)(1 + a'/(1 - a's) H) — the overall
+        constant is a normalization and drops."""
+        den = 1.0 - self.alpha * self.shift
+        return self.alpha / den if den != 0.0 else float('inf')
 
 
-def _combine(values: np.ndarray) -> Tuple[float, float, float, float, float]:
+def _combine(values: np.ndarray, var_floor: float = 0.0
+             ) -> Tuple[float, float, float, float, float]:
     """(h1..h4, E(alpha*)) from recorded [n, 4] sample means."""
     h = tuple(float(v) for v in values.mean(axis=0))
-    alpha = optimal_alpha(h)
+    alpha = optimal_alpha(h, var_floor)
     return h + (lanczos_energy(alpha, h),)
+
+
+def _block_jackknife(values: np.ndarray, var_floor: float,
+                     min_blocks: int = 8) -> Tuple[float, float]:
+    """(e0_err, energy_err) by delete-one-BLOCK jackknife, taking the
+    max over doubling block sizes — the jackknife analog of
+    evaluate.binned_error's plateau search, so consecutive correlated
+    batch means don't fake tight error bars while the full nonlinear
+    alpha/E(alpha) pipeline still propagates exactly."""
+    n = values.shape[0]
+    e0_err = e_err = 0.0
+    size = 1
+    while n // size >= min_blocks:
+        nb = n // size
+        blocks = values[:nb * size].reshape(nb, size, values.shape[1])
+        block_means = blocks.mean(axis=1)
+        jk_e0 = np.empty(nb)
+        jk_e = np.empty(nb)
+        for i in range(nb):
+            sub = np.delete(block_means, i, axis=0)
+            h1_i, _, _, _, e_i = _combine(sub, var_floor)
+            jk_e0[i] = h1_i
+            jk_e[i] = e_i
+        factor = (nb - 1) / nb
+        e0_err = max(e0_err, float(np.sqrt(
+            factor * np.sum((jk_e0 - jk_e0.mean()) ** 2))))
+        e_err = max(e_err, float(np.sqrt(
+            factor * np.sum((jk_e - jk_e.mean()) ** 2))))
+        size *= 2
+    return e0_err, e_err
 
 
 def result_from_values(values: np.ndarray, acceptance_rate: float = 0.0,
                        shift: float = 0.0) -> LanczosResult:
-    """Builds the full LanczosResult (closed-form step + jackknife errors
-    + two-point variance extrapolation) from [n, 4] recorded means.
+    """Builds the full LanczosResult (closed-form step + block-jackknife
+    errors + two-point variance extrapolation) from [n, 4] recorded means.
 
     shift: the energy shift the moments were recorded under (see
     moment_local_values); reported energies are shifted back to H's."""
     values = np.asarray(values, np.float64)
     n = values.shape[0]
-    h1, h2, h3, h4, energy = _combine(values)
+    # Eigenstate guard floor: under a shift the moments carry no O(E^p)
+    # scale to compare the variance against, so derive an absolute floor
+    # from (a) the f32 estimator's resolution at the physical energy and
+    # (b) when n allows, the statistical noise of var0 itself.
+    h1_raw = float(values[:, 0].mean())
+    floor = 1.2e-7 * (h1_raw + shift) ** 2
+    if n > 1:
+        jk_var = np.empty(n)
+        for i in range(n):
+            sub = np.delete(values, i, axis=0)
+            m1 = sub[:, 0].mean()
+            jk_var[i] = sub[:, 1].mean() - m1 * m1
+        var0_err = float(np.sqrt(
+            (n - 1) / n * np.sum((jk_var - jk_var.mean()) ** 2)))
+        floor = max(floor, 3.0 * var0_err)
+    h1, h2, h3, h4, energy = _combine(values, floor)
     h = (h1, h2, h3, h4)
-    alpha = optimal_alpha(h)
+    alpha = optimal_alpha(h, floor)
     var0 = lanczos_variance(0.0, h)
     var_a = lanczos_variance(alpha, h)
     # Two-point zero-variance extrapolation through (var, E) at a=0 and
@@ -184,23 +252,14 @@ def result_from_values(values: np.ndarray, acceptance_rate: float = 0.0,
     else:
         extrap = energy
     if n > 1:
-        jk_e0 = np.empty(n)
-        jk_e = np.empty(n)
-        for i in range(n):
-            sub = np.delete(values, i, axis=0)
-            h1_i, _, _, _, e_i = _combine(sub)
-            jk_e0[i] = h1_i
-            jk_e[i] = e_i
-        factor = (n - 1) / n
-        e0_err = float(np.sqrt(factor * np.sum((jk_e0 - jk_e0.mean()) ** 2)))
-        e_err = float(np.sqrt(factor * np.sum((jk_e - jk_e.mean()) ** 2)))
+        e0_err, e_err = _block_jackknife(values, floor)
     else:
         e0_err = e_err = float('nan')
     return LanczosResult(
         e0=h1 + shift, e0_err=e0_err, alpha=alpha, energy=energy + shift,
         energy_err=e_err, variance0=var0, variance_alpha=var_a,
         extrapolated=extrap + shift, moments=h, values=values,
-        acceptance_rate=acceptance_rate)
+        acceptance_rate=acceptance_rate, shift=shift)
 
 
 def evaluate_lanczos(

@@ -101,36 +101,46 @@ def _symmetrized_head(pre: jax.Array, output_activation: str) -> jax.Array:
 
 
 def _ps_conv(patches_fn: Callable, layer: dict, h: jax.Array, c: int,
-             dtype=jnp.float32) -> jax.Array:
+             dtype=jnp.float32, mask=None) -> jax.Array:
     """Periodic conv with PER-SAMPLE weight copies as a batched GEMM.
 
     layer['w']: [c, *kernel_dims, cin, cout] (leading per-sample axis),
     layer['b']: [c, cout]; h: [c*n, *spatial, cin].  Stride 1.
+    mask: optional [k*k*cin, cout] multiplier on the reshaped weights
+    (the masked-conv autoregressive family).
     """
     w, b = layer['w'], layer['b']
     x = patches_fn(h, w.shape[1])
     cols = x.reshape(c, -1, x.shape[-1])
-    out = jnp.einsum('cok,ckf->cof', cols,
-                     w.reshape(c, -1, w.shape[-1]).astype(dtype),
+    w2 = w.reshape(c, -1, w.shape[-1]).astype(dtype)
+    if mask is not None:
+        w2 = w2 * mask[None]
+    out = jnp.einsum('cok,ckf->cof', cols, w2,
                      preferred_element_type=dtype)
     out = out + b.astype(dtype)[:, None, :]
     return out.reshape(h.shape[:-1] + (w.shape[-1],))
 
 
-def _conv1d_forward_per_sample(base: Conv1DNetwork, ps, orbit: jax.Array
-                               ) -> jax.Array:
-    """log|psi| [c] for Conv1DNetwork with per-sample weights (mirrors
-    Conv1DNetwork.apply term for term: dtype casts, activation registry,
-    f32 head sum)."""
+def _conv_forward_per_sample(base, ps, orbit: jax.Array, two_d: bool
+                             ) -> jax.Array:
+    """log|psi| [c] for Conv1DNetwork/Conv2DNetwork with per-sample
+    weights (mirrors their apply term for term: dtype casts, activation
+    registry, f32 head sum, signed-logsumexp orbit average)."""
     c, n_ops = orbit.shape[0], orbit.shape[1]
     act = logamp.ACTIVATIONS[base.nonlinearity]
     dtype = base.compute_dtype
-    h = orbit.reshape(c * n_ops, orbit.shape[-1], 1).astype(dtype)
+    patches_fn = _patches_2d if two_d else _patches_1d
+    if two_d:
+        h = orbit.reshape(c * n_ops, base.size_x, base.size_y, 1)
+    else:
+        h = orbit.reshape(c * n_ops, orbit.shape[-1], 1)
+    h = h.astype(dtype)
     for i in range(base.num_layers):
-        h = _ps_conv(_patches_1d, ps[f'conv_{i}'], h, c, dtype)
+        h = _ps_conv(patches_fn, ps[f'conv_{i}'], h, c, dtype)
         if i + 1 != base.num_layers:
             h = act(h).astype(dtype)
-    pre = jnp.sum(h.astype(jnp.float32), axis=(1, 2)).reshape(c, n_ops)
+    pre = jnp.sum(h.astype(jnp.float32),
+                  axis=tuple(range(1, h.ndim))).reshape(c, n_ops)
     return _symmetrized_head(pre, base.output_activation)
 
 
@@ -182,93 +192,25 @@ def _tree_rows(forward_fn: Callable) -> Callable:
     return one_chunk
 
 
-def _forward_per_sample_weights(base: Conv2DNetwork, n_ops: int,
-                                wlist, blist, orbit: jax.Array
-                                ) -> jax.Array:
-    """log|psi| [c] from per-sample weight copies.
-
-    wlist[i]: [c, k*k*c_in, f], blist[i]: [c, f]; orbit: [c, n_ops, n].
-    Mirrors Conv2DNetwork.apply + SymmetrizedWavefunction.apply term for
-    term (padding, activation, f32 head sum, signed-logsumexp average).
-    """
-    c = orbit.shape[0]
-    act = logamp.ACTIVATIONS[base.nonlinearity]
-    dtype = base.compute_dtype
-    h = orbit.reshape(c * n_ops, base.size_x, base.size_y, 1).astype(dtype)
-    for i, (w, b) in enumerate(zip(wlist, blist)):
-        patches = _patches_2d(h, base.kernel_size)
-        patches = patches.reshape(c, n_ops * base.size_x * base.size_y,
-                                  patches.shape[-1])
-        out = jnp.einsum('cok,ckf->cof', patches, w.astype(dtype),
-                         preferred_element_type=dtype)
-        out = out + b.astype(dtype)[:, None, :]
-        if i + 1 != len(wlist):
-            out = act(out).astype(dtype)
-        h = out.reshape(c * n_ops, base.size_x, base.size_y, out.shape[-1])
-    pre = jnp.sum(h.astype(jnp.float32), axis=(1, 2, 3)).reshape(c, n_ops)
-    amp = logamp.apply_activation(pre, base.output_activation)
-    if n_ops == 1:
-        return amp.log[:, 0]
-    avg = logamp.sum_terms(amp.sign, amp.log, axis=-1)
-    return avg.log - jnp.log(float(n_ops))
-
-
 def _pixelcnn_forward_per_sample(model: MaskedConv2DAutoregressive,
-                                 wlist, blist, configs: jax.Array
+                                 masks, ps, configs: jax.Array
                                  ) -> jax.Array:
     """log|psi| [c] for the masked-conv AR model with per-sample weight
-    copies.  wlist[i]: [c, k*k*cin, cout] (already mask-multiplied),
-    blist[i]: [c, cout].  Mirrors MaskedConv2DAutoregressive._logits +
-    the sector-projected chain rule term for term."""
+    copies (params-structured tree ps).  Mirrors
+    MaskedConv2DAutoregressive._logits + the sector-projected chain rule
+    term for term (zero padding, act between layers, f32)."""
     c = configs.shape[0]
     act = logamp.ACTIVATIONS[model.nonlinearity]
     h = configs.astype(jnp.float32).reshape(c, model.size_x, model.size_y, 1)
-    last = len(wlist) - 1
-    for i, (w, b) in enumerate(zip(wlist, blist)):
-        kernel = model.masks[i].shape[0]
-        patches = (_patches_2d_zero(h, kernel) if kernel > 1 else h)
-        patches = patches.reshape(c, model.size_x * model.size_y,
-                                  patches.shape[-1])
-        out = jnp.einsum('cok,ckf->cof', patches, w,
-                         preferred_element_type=jnp.float32)
-        out = out + b[:, None, :]
+    last = len(masks) - 1
+    for i, mask in enumerate(masks):
+        h = _ps_conv(_patches_2d_zero, ps[f'conv_{i}'], h, c, mask=mask)
         if i != last:
-            out = act(out)
-        h = out.reshape(c, model.size_x, model.size_y, out.shape[-1])
+            h = act(h)
     logits = h.reshape(c, model.num_sites)
     log_p = AutoregressiveSpinModel.conditional_log_p_from_logits(
         logits, configs)
     return 0.5 * jnp.sum(log_p, axis=-1)
-
-
-def _pixelcnn_rows(model: MaskedConv2DAutoregressive) -> Callable:
-    # Host numpy (DEVELOPMENT.md constant rule) — pure GEMM operands.
-    masks = [np.asarray(m).reshape(-1, m.shape[-1]) for m in model.masks]
-
-    def one_chunk(params, c_configs):
-        c = c_configs.shape[0]
-
-        def f(wb):
-            wlist = [w.reshape(c, -1, w.shape[-1]) * m[None]
-                     for (w, _), m in zip(wb, masks)]
-            blist = [b for _, b in wb]
-            return _pixelcnn_forward_per_sample(model, wlist, blist,
-                                                c_configs)
-
-        layers = [params[f'conv_{i}'] for i in range(len(model.masks))]
-        wb = [(jnp.broadcast_to(l['w'], (c,) + l['w'].shape),
-               jnp.broadcast_to(l['b'], (c,) + l['b'].shape))
-              for l in layers]
-        _, vjp = jax.vjp(f, wb)
-        (grads,) = vjp(jnp.ones((c,), jnp.float32))
-        tree = {f'conv_{i}': {'w': gw, 'b': gb}
-                for i, (gw, gb) in enumerate(grads)}
-        leaves = jax.tree_util.tree_leaves(tree)
-        return jnp.concatenate(
-            [leaf.reshape(c, -1).astype(jnp.float32) for leaf in leaves],
-            axis=1)
-
-    return one_chunk
 
 
 def _chunked(one_chunk: Callable) -> Callable:
@@ -303,7 +245,12 @@ def rows_fn_for(wf) -> Optional[Callable]:
     sector-projected chain-rule head).
     """
     if isinstance(wf, MaskedConv2DAutoregressive):
-        return _chunked(_pixelcnn_rows(wf))
+        # Host numpy (DEVELOPMENT.md constant rule) — pure GEMM operands.
+        masks = [np.asarray(m).reshape(-1, m.shape[-1]) for m in wf.masks]
+
+        def pixelcnn_fwd(ps, c_configs):
+            return _pixelcnn_forward_per_sample(wf, masks, ps, c_configs)
+        return _chunked(_tree_rows(pixelcnn_fwd))
     perms = None
     spin_flip = False
     base = wf
@@ -312,11 +259,13 @@ def rows_fn_for(wf) -> Optional[Callable]:
     out_act = getattr(base, 'output_activation', None)
     if out_act not in logamp.ACTIVATIONS and out_act != 'exp':
         return None
-    if isinstance(base, Conv1DNetwork):
-        def conv1d_fwd(ps, c_configs):
-            return _conv1d_forward_per_sample(
-                base, ps, _orbit_of(c_configs, perms, spin_flip))
-        return _chunked(_tree_rows(conv1d_fwd))
+    if isinstance(base, (Conv1DNetwork, Conv2DNetwork)):
+        two_d = isinstance(base, Conv2DNetwork)
+
+        def conv_fwd(ps, c_configs):
+            return _conv_forward_per_sample(
+                base, ps, _orbit_of(c_configs, perms, spin_flip), two_d)
+        return _chunked(_tree_rows(conv_fwd))
     if isinstance(base, (ResNet1D, ResNet2D)):
         if base.conv_stride != 1:
             return None                     # strided shortcut: generic path
@@ -326,55 +275,4 @@ def rows_fn_for(wf) -> Optional[Callable]:
             return _resnet_forward_per_sample(
                 base, ps, _orbit_of(c_configs, perms, spin_flip), two_d)
         return _chunked(_tree_rows(resnet_fwd))
-    if not isinstance(base, Conv2DNetwork):
-        return None
-
-    def rows(params, configs, chunk: int) -> jax.Array:
-        layers = [params[f'conv_{i}'] for i in range(base.num_layers)]
-        # Per-sample grad blocks arranged as a pytree with the SAME
-        # structure as params, so flattening it visits leaves in
-        # ravel_pytree order whatever the naming scheme.
-        def one_chunk(c_configs):
-            c = c_configs.shape[0]
-            if perms is not None:
-                orbit = c_configs[:, perms]
-                if spin_flip:
-                    orbit = jnp.concatenate([orbit, -orbit], axis=1)
-            else:
-                orbit = c_configs[:, None, :]
-            n_ops = orbit.shape[1]
-
-            def f(wb):
-                wlist = [w.reshape(c, -1, w.shape[-1]) for w, _ in wb]
-                blist = [b for _, b in wb]
-                return _forward_per_sample_weights(base, n_ops, wlist,
-                                                   blist, orbit)
-
-            wb = [(jnp.broadcast_to(l['w'], (c,) + l['w'].shape),
-                   jnp.broadcast_to(l['b'], (c,) + l['b'].shape))
-                  for l in layers]
-            _, vjp = jax.vjp(f, wb)
-            (grads,) = vjp(jnp.ones((c,), jnp.float32))
-            tree = {f'conv_{i}': {'w': gw, 'b': gb}
-                    for i, (gw, gb) in enumerate(grads)}
-            leaves = jax.tree_util.tree_leaves(tree)
-            return jnp.concatenate(
-                [leaf.reshape(c, -1).astype(jnp.float32)
-                 for leaf in leaves], axis=1)
-
-        batch = configs.shape[0]
-        if chunk and batch > chunk:
-            n_chunks = -(-batch // chunk)
-            pad = n_chunks * chunk - batch
-            if pad:
-                filler = jnp.broadcast_to(configs[:1],
-                                          (pad, configs.shape[-1]))
-                configs_p = jnp.concatenate([configs, filler], axis=0)
-            else:
-                configs_p = configs
-            slices = configs_p.reshape(n_chunks, chunk, configs.shape[-1])
-            out = jax.lax.map(one_chunk, slices)
-            return out.reshape(-1, out.shape[-1])[:batch]
-        return one_chunk(configs)
-
-    return rows
+    return None

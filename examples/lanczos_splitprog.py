@@ -59,7 +59,7 @@ def sweeps(p, s, k):
 
 @jax.jit
 def plain_energy(p, configs):
-    chunks = configs.reshape(8, -1, n)
+    chunks = configs.reshape(-1, chunk, n)
     return jnp.mean(jax.lax.map(
         lambda c: ham.local_value(wf, p, c), chunks))
 
@@ -99,7 +99,7 @@ for i in range(samples):
 r = lanczos.result_from_values(np.stack(values), shift=shift)
 print(f'FINAL: E0={r.e0:.4f} +/- {r.e0_err:.4f}  '
       f'E(a*)={r.energy:.4f} +/- {r.energy_err:.4f}  '
-      f'alpha*={r.alpha:.5f}', flush=True)
+      f'alpha*(1+aH)={r.alpha_physical:.6f}', flush=True)
 print(f'  E0/N={r.e0/n:.6f}  E(a*)/N={r.energy/n:.6f}  '
       f'extrap/N={r.extrapolated/n:.6f}', flush=True)
 if e_ref:
