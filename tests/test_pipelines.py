@@ -363,3 +363,30 @@ def test_restore_params_from_checkpoint_both_backends(tmp_path):
         for a, b in zip(jax.tree.leaves(params),
                         jax.tree.leaves(state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_eval_lanczos(tmp_path, capsys):
+    run_dir = str(tmp_path / 'lz_run')
+    rc = cli_main([
+        'train', '--checkpoint_dir', run_dir,
+        '--num_sites', str(N), '--num_epochs', '1',
+        '--wavefunction_type', 'rbm',
+        '--optimizer_type', 'EnergyGradient',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'num_fc_layers=1,fc_layer_size=8,batch_size=16,'
+        'num_batches_per_epoch=1,num_equilibration_sweeps=1',
+    ])
+    assert rc == 0
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--observable', 'lanczos',
+                   '--override',
+                   'num_evaluation_samples=10,energy_chunk_samples=8'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'Lanczos energy E(alpha*):' in out
+    assert 'Zero-variance extrapolation:' in out
+    # The step is variational: E(alpha*) <= <H> up to statistical noise.
+    e0 = float(out.split('Energy <H>: ')[1].split(' ')[0])
+    e_lz = float(out.split('E(alpha*): ')[1].split(' ')[0])
+    assert e_lz <= e0 + 1e-9
