@@ -13,7 +13,12 @@ nonlinear pipeline.
 
 Usage:
   python examples/lanczos_splitprog.py PATH NX NY LAYERS FILTERS \
-      [SAMPLES=60] [BATCH=64] [CHUNK=8] [E_REF_PER_SITE]
+      [SAMPLES=60] [BATCH=64] [CHUNK=8] [INNER=16] [E_REF_PER_SITE]
+
+INNER is the Hamiltonian's own sample_chunk for the E_loc evaluation at
+connected configurations — its fan-out is INNER*K configs times the
+symmetry orbit, the peak-activation knob (INNER=16 at 12x12 keeps each
+conv layer's activations ~1.3 GB).
 e.g. the 12x12 artifact (gap to QMC 8.25e-4):
   python examples/lanczos_splitprog.py \
       artifacts/heisenberg_12x12_symconv.msgpack 12 12 5 32 60 64 8
@@ -38,8 +43,9 @@ nx, ny, layers, filters = (int(v) for v in sys.argv[2:6])
 samples = int(sys.argv[6]) if len(sys.argv) > 6 else 60
 batch = int(sys.argv[7]) if len(sys.argv) > 7 else 64
 chunk = int(sys.argv[8]) if len(sys.argv) > 8 else 8
+inner = int(sys.argv[9]) if len(sys.argv) > 9 else 16
 n = nx * ny
-e_ref = (float(sys.argv[9]) if len(sys.argv) > 9 else QMC.get(n, 0.0)) * n
+e_ref = (float(sys.argv[10]) if len(sys.argv) > 10 else QMC.get(n, 0.0)) * n
 
 cfg = Config(num_sites=n, size_x=nx, size_y=ny,
              wavefunction_type='conv_2d', num_conv_layers=layers,
@@ -48,7 +54,7 @@ cfg = Config(num_sites=n, size_x=nx, size_y=ny,
 bonds = lattice.square_lattice_bonds(nx, ny)
 wf = build_wavefunction(cfg)
 # Inner E_loc at connected configs: chunk ITS fan-out too.
-ham = HeisenbergHamiltonian(bonds, -1.0, 1.0, sample_chunk=64)
+ham = HeisenbergHamiltonian(bonds, -1.0, 1.0, sample_chunk=inner)
 params = serialization.from_bytes(
     wf.init(jax.random.key(0)), open(path, 'rb').read())
 
