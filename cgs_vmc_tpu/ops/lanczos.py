@@ -196,8 +196,13 @@ def _block_jackknife(values: np.ndarray, var_floor: float,
     n = values.shape[0]
     e0_err = e_err = 0.0
     size = 1
-    while n // size >= min_blocks:
+    # The size-1 level always runs (plain delete-one jackknife), so small
+    # sample counts report a (possibly autocorrelation-naive) error
+    # instead of a silent 0; larger sizes need >= min_blocks blocks.
+    while size == 1 or n // size >= min_blocks:
         nb = n // size
+        if nb < 2:
+            break
         blocks = values[:nb * size].reshape(nb, size, values.shape[1])
         block_means = blocks.mean(axis=1)
         jk_e0 = np.empty(nb)
