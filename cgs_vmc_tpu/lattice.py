@@ -92,6 +92,43 @@ def triangular_lattice_bonds(size_x: int, size_y: int,
     return np.asarray(bonds, dtype=np.int32)
 
 
+def honeycomb_lattice_bonds(size_x: int, size_y: int,
+                            periodic: bool = True) -> np.ndarray:
+    """Nearest-neighbour bonds of a honeycomb lattice: size_x × size_y
+    rhombic cells of the triangular Bravais lattice with a 2-site (A, B)
+    basis; site = (x*size_y + y)*2 + s, so num_sites = 2*size_x*size_y.
+    Each A bonds to B in cells (x, y), (x-1, y), (x, y-1) — coordination
+    3, BIPARTITE (every bond joins A to B, i.e. even to odd site index,
+    so `marshall_sublattice`'s parity fallback is the correct mask and
+    training with heisenberg_jx = -1 applies the Marshall gauge exactly
+    as on the square lattice).  Beyond the reference, whose built-in
+    geometry is the 1-D chain (cgs_vmc/run_training.py:103-109).
+
+    Width-1/2 tori wrap two cell directions onto the same neighbour;
+    duplicate pairs are emitted once (same convention as
+    `triangular_lattice_bonds`)."""
+    def site(x: int, y: int, s: int) -> int:
+        return ((x % size_x) * size_y + (y % size_y)) * 2 + s
+
+    bonds, seen = [], set()
+    for x in range(size_x):
+        for y in range(size_y):
+            a = site(x, y, 0)
+            cells = [(x, y)]
+            if periodic or x > 0:
+                cells.append((x - 1, y))
+            if periodic or y > 0:
+                cells.append((x, y - 1))
+            for cx, cy in cells:
+                b = site(cx, cy, 1)
+                key = (min(a, b), max(a, b))
+                if key in seen:
+                    continue
+                seen.add(key)
+                bonds.append((a, b))
+    return np.asarray(bonds, dtype=np.int32)
+
+
 def j1j2_chain_bonds(n_sites: int, periodic: bool = True
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Bonds of the J1–J2 chain: (bonds, j2_mask) where j2_mask is 1.0 on
@@ -193,9 +230,21 @@ def bonds_and_couplings_for_config(config
                 '(the built-in J1-J2 generators are chain/square); supply '
                 'an explicit bonds-and-couplings file via j_file_path')
         return triangular_lattice_bonds(config.size_x, config.size_y), None
+    if lattice_type == 'honeycomb':
+        if (config.size_x < 1 or config.size_y < 1
+                or 2 * config.size_x * config.size_y != config.num_sites):
+            raise ValueError('honeycomb lattice requires num_sites == '
+                             '2 * size_x * size_y (size_x x size_y cells '
+                             'of a 2-site basis)')
+        if getattr(config, 'heisenberg_j2', 0.0):
+            raise ValueError(
+                'heisenberg_j2 is not supported on the honeycomb lattice '
+                '(the built-in J1-J2 generators are chain/square); supply '
+                'an explicit bonds-and-couplings file via j_file_path')
+        return honeycomb_lattice_bonds(config.size_x, config.size_y), None
     if lattice_type and lattice_type not in ('', 'auto'):
         raise ValueError(f'unknown lattice_type {lattice_type!r}; '
-                         "known: '', 'auto', 'triangular'")
+                         "known: '', 'auto', 'triangular', 'honeycomb'")
     is_square = (config.size_x > 1 and config.size_y > 1
                  and config.size_x * config.size_y == config.num_sites)
     j2 = getattr(config, 'heisenberg_j2', 0.0)

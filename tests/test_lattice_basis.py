@@ -212,3 +212,84 @@ def test_triangular_complex_sr_descends():
     final = np.mean(energies[-10:])
     rel = abs(final - e0) / abs(e0)
     assert rel < 0.20, f'triangular SR stalled: E={final} vs E0={e0} ({rel})'
+
+
+def test_honeycomb_lattice_geometry():
+    """3 bonds per unit cell, coordination 3, bipartite (even<->odd)."""
+    from cgs_vmc_tpu.lattice import honeycomb_lattice_bonds
+    bonds = honeycomb_lattice_bonds(3, 3)
+    n = 18
+    assert bonds.shape == (3 * 9, 2)
+    degree = np.zeros(n, int)
+    for i, j in bonds:
+        degree[i] += 1
+        degree[j] += 1
+        # Bipartite: every bond joins sublattice A (even index) to B
+        # (odd), so the parity Marshall mask is exact.
+        assert (i + j) % 2 == 1
+    assert (degree == 3).all()
+    keys = {(min(i, j), max(i, j)) for i, j in bonds}
+    assert len(keys) == 27
+    # Width-2 tori wrap duplicate pairs; emitted once.
+    small = honeycomb_lattice_bonds(2, 1)
+    keys = {(min(i, j), max(i, j)) for i, j in small}
+    assert len(keys) == len(small)
+
+
+def test_honeycomb_config_dispatch_and_marshall_gauge():
+    """Dispatch + the physics: with jx = -1 (Marshall gauge) the 2x2-cell
+    honeycomb AFM ground state is positive and the gauge leaves the
+    spectrum unchanged."""
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu import lattice
+    from cgs_vmc_tpu.utils import ed
+    cfg = Config(num_sites=8, size_x=2, size_y=2,
+                 lattice_type='honeycomb')
+    bonds, couplings = lattice.bonds_and_couplings_for_config(cfg)
+    assert couplings is None
+    assert bonds.shape == (12, 2)
+    with pytest.raises(ValueError):
+        lattice.bonds_and_couplings_for_config(
+            Config(num_sites=12, size_x=2, size_y=2,
+                   lattice_type='honeycomb'))
+    e_gauged, v_gauged = ed.ground_state(8, bonds, j_x=-1.0, j_z=1.0)
+    e_bare, _ = ed.ground_state(8, bonds, j_x=1.0, j_z=1.0)
+    np.testing.assert_allclose(e_gauged, e_bare, rtol=1e-10)
+    v = v_gauged * np.sign(v_gauged[np.argmax(np.abs(v_gauged))])
+    assert (v > -1e-10).all()   # positive ground state in the gauge
+
+
+def test_honeycomb_sr_reaches_ed():
+    """End-to-end: Marshall-gauged RBM + dense SR on the 2x2-cell (8-site)
+    honeycomb AFM torus converges to the ED ground state."""
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu import lattice
+    from cgs_vmc_tpu.models import build_wavefunction
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
+    from cgs_vmc_tpu.utils import ed
+
+    n = 8
+    config = Config(
+        num_sites=n, size_x=2, size_y=2, lattice_type='honeycomb',
+        wavefunction_type='rbm', num_fc_layers=0, fc_layer_size=24,
+        batch_size=256, num_batches_per_epoch=2,
+        num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+        optimizer='gradient', learning_rates=[0.05, 0.02],
+        learning_rate_stops=[120],
+        sr_solver='dense', sr_diag_shift=1e-2, sr_delta_clip=1.0,
+        heisenberg_jx=-1.0, use_fast_sampler=False, seed=3)
+    wf = build_wavefunction(config)
+    bonds = lattice.bonds_for_config(config)
+    ham = HeisenbergHamiltonian(bonds, j_x=-1.0, j_z=1.0)
+    opt = StochasticReconfiguration(wf, ham, config)
+    state = opt.init_state(jax.random.key(config.seed))
+    epoch = jax.jit(lambda s: opt.epoch(s))
+    energies = []
+    for _ in range(200):
+        state, metrics = epoch(state)
+        energies.append(float(metrics['energy']))
+    e0, _ = ed.ground_state(n, bonds, -1.0, 1.0)
+    final = np.mean(energies[-10:])
+    rel = abs(final - e0) / abs(e0)
+    assert rel < 5e-3, f'honeycomb SR stalled: E={final} vs E0={e0} ({rel})'
