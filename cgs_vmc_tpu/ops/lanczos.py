@@ -351,11 +351,18 @@ def evaluate_lanczos(
 def exact_lanczos(wf: Wavefunction, params: Params,
                   operator: LocalOperator, num_sites: int,
                   n_down: Optional[int] = None, batch: int = 1024,
-                  energy_shift: float = 0.0) -> LanczosResult:
-    """Deterministic moments over the FULL fixed-Sz basis (no MCMC) —
-    the zero-variance companion to `evaluate_lanczos`, practical up to
-    num_sites ~ 16 (the fan-out is dim * K^2)."""
-    states = basis_lib.enumerate_sz_basis(num_sites, n_down)
+                  energy_shift: float = 0.0,
+                  basis_states: Optional[np.ndarray] = None
+                  ) -> LanczosResult:
+    """Deterministic moments over an enumerated basis (no MCMC) — the
+    zero-variance companion to `evaluate_lanczos`, practical up to
+    num_sites ~ 16 (the fan-out is dim * K^2).
+
+    basis_states: the basis to sum over; defaults to the fixed-Sz sector
+    (Heisenberg).  Pass `basis.enumerate_full_basis(n)` for operators
+    that don't conserve Sz (the TFIM family)."""
+    states = (basis_states if basis_states is not None
+              else basis_lib.enumerate_sz_basis(num_sites, n_down))
     logs, rows = [], []
     for start in range(0, states.shape[0], batch):
         chunk = jnp.asarray(states[start:start + batch])
