@@ -129,6 +129,44 @@ def honeycomb_lattice_bonds(size_x: int, size_y: int,
     return np.asarray(bonds, dtype=np.int32)
 
 
+def kagome_lattice_bonds(size_x: int, size_y: int,
+                         periodic: bool = True) -> np.ndarray:
+    """Nearest-neighbour bonds of a kagome lattice: size_x × size_y
+    rhombic cells of the triangular Bravais lattice with a 3-site
+    (A, B, C) basis; site = (x*size_y + y)*3 + s, so
+    num_sites = 3*size_x*size_y.  Bonds are the corner-sharing
+    triangles: the up triangle (A-B, B-C, C-A in-cell) and the down
+    triangle (B(x,y)-A(x+1,y), C(x,y)-A(x,y+1), B(x,y)-C(x+1,y-1)) —
+    coordination 4, geometrically frustrated (odd cycles, no
+    bipartition), the canonical quantum-spin-liquid candidate geometry.
+    Beyond the reference (built-in geometry: the 1-D chain,
+    cgs_vmc/run_training.py:103-109).
+
+    Width-1/2 tori wrap duplicate pairs; emitted once (same convention
+    as `triangular_lattice_bonds`)."""
+    def site(x: int, y: int, s: int) -> int:
+        return ((x % size_x) * size_y + (y % size_y)) * 3 + s
+
+    bonds, seen = [], set()
+    for x in range(size_x):
+        for y in range(size_y):
+            a, b, c = site(x, y, 0), site(x, y, 1), site(x, y, 2)
+            pairs = [(a, b), (b, c), (c, a)]
+            if periodic or x + 1 < size_x:
+                pairs.append((b, site(x + 1, y, 0)))
+            if periodic or y + 1 < size_y:
+                pairs.append((c, site(x, y + 1, 0)))
+            if periodic or (x + 1 < size_x and y > 0):
+                pairs.append((b, site(x + 1, y - 1, 2)))
+            for i, j in pairs:
+                key = (min(i, j), max(i, j))
+                if i == j or key in seen:
+                    continue
+                seen.add(key)
+                bonds.append((i, j))
+    return np.asarray(bonds, dtype=np.int32)
+
+
 def j1j2_chain_bonds(n_sites: int, periodic: bool = True
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Bonds of the J1–J2 chain: (bonds, j2_mask) where j2_mask is 1.0 on
@@ -242,9 +280,22 @@ def bonds_and_couplings_for_config(config
                 '(the built-in J1-J2 generators are chain/square); supply '
                 'an explicit bonds-and-couplings file via j_file_path')
         return honeycomb_lattice_bonds(config.size_x, config.size_y), None
+    if lattice_type == 'kagome':
+        if (config.size_x < 1 or config.size_y < 1
+                or 3 * config.size_x * config.size_y != config.num_sites):
+            raise ValueError('kagome lattice requires num_sites == '
+                             '3 * size_x * size_y (size_x x size_y cells '
+                             'of a 3-site basis)')
+        if getattr(config, 'heisenberg_j2', 0.0):
+            raise ValueError(
+                'heisenberg_j2 is not supported on the kagome lattice '
+                '(the built-in J1-J2 generators are chain/square); supply '
+                'an explicit bonds-and-couplings file via j_file_path')
+        return kagome_lattice_bonds(config.size_x, config.size_y), None
     if lattice_type and lattice_type not in ('', 'auto'):
-        raise ValueError(f'unknown lattice_type {lattice_type!r}; '
-                         "known: '', 'auto', 'triangular', 'honeycomb'")
+        raise ValueError(
+            f'unknown lattice_type {lattice_type!r}; known: '
+            "'', 'auto', 'triangular', 'honeycomb', 'kagome'")
     is_square = (config.size_x > 1 and config.size_y > 1
                  and config.size_x * config.size_y == config.num_sites)
     j2 = getattr(config, 'heisenberg_j2', 0.0)

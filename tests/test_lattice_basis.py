@@ -293,3 +293,55 @@ def test_honeycomb_sr_reaches_ed():
     final = np.mean(energies[-10:])
     rel = abs(final - e0) / abs(e0)
     assert rel < 5e-3, f'honeycomb SR stalled: E={final} vs E0={e0} ({rel})'
+
+
+def test_kagome_lattice_geometry():
+    """6 bonds/cell, coordination 4, corner-sharing triangles (odd
+    cycles -> frustrated, NOT bipartite)."""
+    from cgs_vmc_tpu.lattice import kagome_lattice_bonds
+    bonds = kagome_lattice_bonds(3, 3)
+    n = 27
+    assert bonds.shape == (6 * 9, 2)
+    degree = np.zeros(n, int)
+    for i, j in bonds:
+        degree[i] += 1
+        degree[j] += 1
+    assert (degree == 4).all()
+    keys = {(min(i, j), max(i, j)) for i, j in bonds}
+    assert len(keys) == 54
+    # In-cell up-triangle is an odd cycle: sites 0,1,2 pairwise bonded.
+    assert {(0, 1), (1, 2), (0, 2)} <= keys
+    small = kagome_lattice_bonds(2, 2)
+    keys = {(min(i, j), max(i, j)) for i, j in small}
+    assert len(keys) == len(small)
+
+
+def test_kagome_config_dispatch_and_local_energy():
+    """Dispatch + wiring: kagome E_loc from the bond list == the dense
+    matrix on the same bonds (2x2 cells, 12 sites)."""
+    from cgs_vmc_tpu.config import Config
+    from cgs_vmc_tpu import lattice
+    from cgs_vmc_tpu.models.full_vector import FullVector
+    from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+    from cgs_vmc_tpu.utils import ed
+    import jax.numpy as jnp
+
+    cfg = Config(num_sites=12, size_x=2, size_y=2, lattice_type='kagome')
+    bonds, couplings = lattice.bonds_and_couplings_for_config(cfg)
+    assert couplings is None and bonds.shape == (24, 2)
+    with pytest.raises(ValueError):
+        lattice.bonds_and_couplings_for_config(
+            Config(num_sites=12, size_x=3, size_y=3,
+                   lattice_type='kagome'))
+    n = 12
+    rng = np.random.default_rng(2)
+    dim = len(basis.enumerate_sz_basis(n))
+    vec = (rng.normal(size=dim) + 2.5).astype(np.float32)
+    wf = FullVector.for_sector(n, vec)
+    params = wf.init(jax.random.key(0))
+    states = basis.enumerate_sz_basis(n)
+    ham = HeisenbergHamiltonian(bonds, j_x=1.0, j_z=1.0)
+    e_loc = np.asarray(ham.local_value(wf, params, jnp.asarray(states)))
+    dense = ed.heisenberg_matrix(n, bonds, j_x=1.0, j_z=1.0, sparse=False)
+    expected = (dense @ vec.astype(np.float64)) / vec
+    np.testing.assert_allclose(e_loc, expected, rtol=2e-4)
