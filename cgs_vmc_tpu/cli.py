@@ -143,6 +143,16 @@ def main(argv=None) -> int:
                                "'imag' = normalized imaginary-time flow.")
     p_evolve.add_argument('--integrator', choices=('euler', 'heun'),
                           default='heun')
+    p_evolve.add_argument(
+        '--linear_response', default='',
+        help='Momentum (units of pi) of a FourierSz probe, e.g. "1" on a '
+             'chain or "1;1" on a 2-D lattice: runs the antithetic '
+             'linear-response protocol (quench e^{±eps O_q}, evolve, '
+             'C(t) = symmetric difference / 4 eps) instead of a plain '
+             'evolution, and writes (t, C(t)) plus the spectral function '
+             'S(q, omega) to linear_response.jsonl (ops/dynamics.py).')
+    p_evolve.add_argument('--eps', type=float, default=0.05,
+                          help='Quench strength for --linear_response.')
 
     args = parser.parse_args(argv)
 
@@ -335,6 +345,42 @@ def main(argv=None) -> int:
             result = evaluate_operator(wf, params, operator, config)
             print(f'{label}: {result.mean} +/- {result.error}')
             print(f'Acceptance rate: {result.acceptance_rate:.4f}')
+        elif args.command == 'evolve' and getattr(args, 'linear_response',
+                                                  ''):
+            import json
+            import numpy as np
+            from cgs_vmc_tpu.ops import dynamics
+            from cgs_vmc_tpu.ops.observables import (chain_positions,
+                                                     square_positions)
+            q = [float(v) * np.pi
+                 for v in args.linear_response.split(';')]
+            if config.size_y > 1:
+                pos = square_positions(config.size_x, config.size_y)
+            else:
+                pos = chain_positions(config.num_sites)
+            if len(q) != pos.shape[1]:
+                print(f'--linear_response needs {pos.shape[1]} momentum '
+                      'component(s)', file=sys.stderr)
+                return 1
+            probe = dynamics.FourierSz(q, pos)
+            times, corr, _ = dynamics.sampled_linear_response(
+                wf, params, hamiltonian, probe, config,
+                eps=args.eps, dt=args.dt, n_steps=args.steps)
+            omegas = np.linspace(0.0, np.pi * 3, 256)
+            spec = dynamics.spectral_function(times, corr, omegas)
+            out_path = os.path.join(run_dir, 'linear_response.jsonl')
+            with open(out_path, 'w') as f:
+                f.write(json.dumps({'q_over_pi': args.linear_response,
+                                    'eps': args.eps,
+                                    'times': times.tolist(),
+                                    'correlator': corr.tolist()}) + '\n')
+                f.write(json.dumps({'omegas': omegas.tolist(),
+                                    'spectral_function':
+                                        spec.tolist()}) + '\n')
+            peak = float(omegas[int(np.argmax(spec))])
+            print(f'Linear response C(t) over {args.steps} steps of '
+                  f'dt={args.dt}; S(q,omega) peak at omega={peak:.4f}')
+            print(f'Wrote {out_path}')
         elif args.command == 'evolve':
             import json
             from cgs_vmc_tpu.optim.tvmc import TimeEvolution
