@@ -114,6 +114,9 @@ def main(argv=None) -> int:
              "a 1xN geometry is treated as a chain), "
              "'transverse:<dx>[;<dy>]' (SxSx+SySy, off-diagonal), "
              "'staggered_m2' (squared staggered magnetization), "
+             "'total_spin2' (SU(2) Casimir <S_tot^2>; 0 for a singlet — "
+             "Marshall-gauge-corrected automatically when the run "
+             "trained with jx < 0), "
              "'sq:<qx>[;<qy>]' (longitudinal structure factor S(q), "
              "momentum in units of pi; qy required iff the lattice is "
              "2-D), or "
@@ -331,6 +334,20 @@ def main(argv=None) -> int:
                     return 1
                 operator = SpinStructureFactor(q, pos)
                 label = f'S(q={observable.split(":", 1)[1]}pi)'
+            elif observable == 'total_spin2':
+                from cgs_vmc_tpu import lattice as lattice_lib
+                from cgs_vmc_tpu.ops.observables import TotalSpinSquared
+                sub_mask = None
+                if config.heisenberg_jx < 0:
+                    # Marshall-gauged state: gauge-correct the exchange
+                    # terms per pair (see TotalSpinSquared docstring).
+                    sub_mask = lattice_lib.marshall_sublattice(
+                        config.num_sites, config.size_x, config.size_y)
+                operator = TotalSpinSquared(
+                    config.num_sites,
+                    sample_chunk=config.energy_chunk_samples,
+                    sublattice=sub_mask)
+                label = 'Total spin S^2'
             elif observable == 'staggered_m2':
                 from cgs_vmc_tpu import lattice as lattice_lib
                 from cgs_vmc_tpu.ops.observables import (

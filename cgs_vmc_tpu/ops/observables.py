@@ -117,6 +117,47 @@ class TransverseCorrelation(Operator):
                                           amp) / self.n_pairs
 
 
+class TotalSpinSquared(Operator):
+    """S_tot^2 = sum_ij S_i . S_j = (3N/4) + 2 sum_{i<j} S_i . S_j —
+    the SU(2) Casimir.  A singlet ground state (the AFM Heisenberg case
+    on any bipartite lattice) gives exactly 0; measuring it on a trained
+    state quantifies the residual spin contamination, a physics
+    diagnostic the energy alone cannot provide.
+
+    Off-diagonal over ALL site pairs: implemented as a Heisenberg
+    operator on the complete graph (the fused connected-config machinery
+    handles the K = N(N-1)/2 fan-out; pass sample_chunk for large N).
+
+    NOTE on gauge: S^2 does NOT commute with the Marshall rotation, so a
+    state trained with heisenberg_jx = -1 must be measured with the
+    exchange terms gauge-corrected per pair: cross-sublattice pairs flip
+    sign (off-diagonal coupling -1), same-sublattice pairs don't.  Pass
+    the ±1 site mask as `sublattice` and the correction is applied
+    inside the fused kernel; omit it for states in the bare basis.
+    """
+
+    def __init__(self, n_sites: int, sample_chunk: int = 0,
+                 sublattice: Optional[np.ndarray] = None):
+        from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+        pairs = np.asarray(
+            [(i, j) for i in range(n_sites) for j in range(i + 1, n_sites)],
+            np.int32)
+        offdiag = None
+        if sublattice is not None:
+            sub = np.asarray(sublattice, np.float32).reshape(-1)
+            offdiag = sub[pairs[:, 0]] * sub[pairs[:, 1]]
+        self.n_sites = n_sites
+        self._heis = HeisenbergHamiltonian(
+            pairs, 1.0, 1.0, sample_chunk=sample_chunk,
+            offdiag_couplings=offdiag)
+
+    def local_value(self, wf: Wavefunction, params: Params,
+                    configs: jax.Array, amp: Optional[LogAmp] = None
+                    ) -> jax.Array:
+        pair_sum = self._heis.local_value(wf, params, configs, amp)
+        return 0.75 * self.n_sites + 2.0 * pair_sum
+
+
 def chain_positions(n_sites: int) -> np.ndarray:
     """1-D chain site coordinates [N, 1] (unit spacing)."""
     return np.arange(n_sites, dtype=np.float64)[:, None]

@@ -171,3 +171,46 @@ def test_transverse_pair_signs_mixed_gauge():
             op.local_value(wf, params, states)))))
     expected = float(np.mean(signs * np.asarray(singles)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-7)
+
+
+def test_total_spin_squared_singlet_and_gauge():
+    """The AFM chain ground state is an SU(2) singlet: <S^2> = 0 exactly
+    — in the bare basis AND for the Marshall-gauged state with the
+    per-pair exchange-sign correction.  A random sector state gives the
+    dense-matrix value."""
+    from cgs_vmc_tpu.evaluate import exact_expectation
+    from cgs_vmc_tpu.ops.observables import TotalSpinSquared
+
+    # Bare basis (jx = +1): singlet.
+    e0, v0 = ed.ground_state(N, BONDS, j_x=1.0, j_z=1.0)
+    wf = FullVector.for_sector(N, v0.astype(np.float32))
+    params = wf.init(jax.random.key(0))
+    s2 = TotalSpinSquared(N)
+    val = exact_expectation(wf, params, s2, N)
+    assert abs(val) < 5e-4, val
+
+    # Marshall-gauged state (trained with jx = -1) + gauge correction.
+    e0g, v0g = ed.ground_state(N, BONDS, j_x=-1.0, j_z=1.0)
+    wfg = FullVector.for_sector(N, v0g.astype(np.float32))
+    paramsg = wfg.init(jax.random.key(0))
+    s2g = TotalSpinSquared(N, sublattice=lattice.marshall_sublattice(N))
+    valg = exact_expectation(wfg, paramsg, s2g, N)
+    assert abs(valg) < 5e-4, valg
+    # WITHOUT the correction the gauged state is NOT a singlet of the
+    # bare S^2 — the correction is load-bearing.
+    val_wrong = exact_expectation(wfg, paramsg, s2, N)
+    assert abs(val_wrong) > 0.5
+
+    # Random state: matches the dense all-pairs matrix + constant.
+    rng = np.random.default_rng(3)
+    states = basis.enumerate_sz_basis(N)
+    vec = (rng.normal(size=states.shape[0]) + 1.5).astype(np.float32)
+    wfr = FullVector.for_sector(N, vec)
+    paramsr = wfr.init(jax.random.key(0))
+    pairs = np.asarray([(i, j) for i in range(N) for j in range(i + 1, N)],
+                       np.int32)
+    dense = ed.heisenberg_matrix(N, pairs, 1.0, 1.0, sparse=False)
+    v64 = vec.astype(np.float64)
+    want = 0.75 * N + 2.0 * float(v64 @ (dense @ v64) / (v64 @ v64))
+    got = exact_expectation(wfr, paramsr, TotalSpinSquared(N), N)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
