@@ -85,6 +85,10 @@ def main(argv=None) -> int:
     p_train.add_argument('--basis_file_path', default='',
                          help='Basis file for --generate_vectors (defaults '
                               'to enumerating the Sz=0 sector).')
+    p_train.add_argument('--orthogonal_to', action='append', default=[],
+                         help='Frozen lower state (run dir or .msgpack '
+                              'params artifact) for the ExcitedPenalty '
+                              'optimizer; repeatable.')
 
     p_distill = sub.add_parser(
         'distill', help='Supervised distillation toward a trained target.')
@@ -165,6 +169,8 @@ def main(argv=None) -> int:
                                base=_resume_base(args))
         if args.basis_file_path:
             config = config.replace(basis_file_path=args.basis_file_path)
+        if args.orthogonal_to:
+            config = config.replace(orthogonal_to=list(args.orthogonal_to))
         state = train(config, resume=args.resume)
         if args.generate_vectors:
             from cgs_vmc_tpu import models

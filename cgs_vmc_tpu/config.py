@@ -125,6 +125,14 @@ class Config:
     # makes the ground state near-positive at moderate J2/J1.
     heisenberg_marshall_gauge: bool = False
     j_file_path: str = ''        # bonds file: 'i j [J_ij]' rows
+    # --- Excited states (beyond the reference) -------------------------
+    # Frozen lower states the 'ExcitedPenalty' optimizer orthogonalizes
+    # against: run directories (architecture from their config.json) or
+    # .msgpack params artifacts (architecture from THIS config).
+    orthogonal_to: List[str] = dataclasses.field(default_factory=list)
+    # Penalty weight lambda on sum_k |<psi_k|psi>|^2/(norms); must exceed
+    # the target excitation gap for the minimum to be the excited state.
+    orthogonality_penalty: float = 10.0
     # '' / 'auto': geometry-derived (square if size_x*size_y==num_sites,
     # else chain); 'triangular': rhombic-torus triangular lattice
     # (frustrated — pair with a complex-phase ansatz for AFM couplings).

@@ -3,6 +3,7 @@ new SR optimizer required by the rebuild spec)."""
 
 from cgs_vmc_tpu.optim.common import SgdOptimizer, TrainState, make_optax_optimizer
 from cgs_vmc_tpu.optim.energy_gradient import EnergyGradientOptimizer
+from cgs_vmc_tpu.optim.excited import PenaltyExcitedOptimizer
 from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
 from cgs_vmc_tpu.optim.swo import (
     BasisIterationSWO,
@@ -18,6 +19,7 @@ GROUND_STATE_OPTIMIZERS = {
     'LogOverlapITSWO': LogOverlapImaginaryTimeSWO,
     'ITSWO': ImaginaryTimeSWO,
     'SR': StochasticReconfiguration,
+    'ExcitedPenalty': PenaltyExcitedOptimizer,
 }
 
 SUPERVISED_OPTIMIZERS = {
@@ -30,6 +32,7 @@ SUPERVISED_OPTIMIZERS = {
 __all__ = [
     'TrainState', 'SgdOptimizer', 'make_optax_optimizer',
     'EnergyGradientOptimizer', 'StochasticReconfiguration',
+    'PenaltyExcitedOptimizer',
     'ImaginaryTimeSWO', 'LogOverlapImaginaryTimeSWO',
     'SupervisedWavefunctionOptimizer', 'LogOverlapSWO', 'DualSamplingSWO',
     'BasisIterationSWO',

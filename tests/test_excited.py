@@ -1,0 +1,186 @@
+"""Excited-state penalty optimizer: exactness oracles + gap convergence.
+
+The physics gives sharp oracles: with FullVector ansatzes the overlap
+estimator is exact sample-by-sample when psi == psi_0 (every ratio is 1),
+the exact first excited state is a zero-variance fixed point with
+energy == E1, and a trainable dense vector penalized against the exact
+ground state must converge to the first excited sector eigenvalue.
+The reference has no excited-state machinery at all
+(cgs_vmc/training.py:913-925 lists ground-state + supervised fits only).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgs_vmc_tpu import lattice
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import FullVector, build_wavefunction
+from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
+from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
+from cgs_vmc_tpu.optim.excited import PenaltyExcitedOptimizer
+from cgs_vmc_tpu.utils import ed
+
+N = 8
+JX = -1.0
+BONDS = lattice.chain_bonds(N)
+_MAT = ed.heisenberg_matrix(N, BONDS, j_x=JX)
+_VALS, _VECS = np.linalg.eigh(_MAT)
+E0, E1 = float(_VALS[0]), float(_VALS[1])
+V0, V1 = _VECS[:, 0], _VECS[:, 1]
+
+
+def _config(**kwargs) -> Config:
+    defaults = dict(
+        num_sites=N,
+        batch_size=128, num_batches_per_epoch=4,
+        num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
+        learning_rates=[0.0], learning_rate_stops=[],
+        optimizer='gradient', heisenberg_jx=JX,
+        orthogonality_penalty=10.0, seed=11,
+    )
+    defaults.update(kwargs)
+    return Config(**defaults)
+
+
+def _ham():
+    return HeisenbergHamiltonian(BONDS, JX, 1.0)
+
+
+def _vector_state(vec: np.ndarray):
+    wf = FullVector.for_sector(N, vec.astype(np.float32))
+    return wf, wf.init(jax.random.key(0))
+
+
+def test_overlap_estimator_exact_for_identical_states():
+    """psi == psi_0: every ratio r = s = 1, so F-hat == 1 to f32 rounding
+    regardless of which configurations the chains visit."""
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(V0)
+    opt = PenaltyExcitedOptimizer(wf, _ham(), _config(),
+                                  lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(1))
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert abs(float(metrics['overlap']) - 1.0) < 1e-4
+    # Zero-variance energy: the exact eigenstate gives E0 exactly.
+    assert abs(float(metrics['energy']) - E0) < 1e-3
+    assert float(metrics['energy_variance']) < 1e-4
+
+
+def test_exact_excited_state_is_zero_variance_fixed_point():
+    """psi = exact first excited sector eigenstate, frozen psi_0 = exact
+    ground state: energy == E1 with ~zero variance and small overlap."""
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(V1)
+    opt = PenaltyExcitedOptimizer(wf, _ham(), _config(),
+                                  lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(2))
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert abs(float(metrics['energy']) - E1) < 1e-3
+    assert float(metrics['energy_variance']) < 1e-4
+    # <psi_0|psi_1> = 0: the estimator is unbiased but noisy; exchange of
+    # exact eigenvectors keeps the tails mild at this size.
+    assert abs(float(metrics['overlap'])) < 0.1
+
+
+def test_penalty_requires_positive_lambda():
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(V1)
+    with pytest.raises(ValueError, match='orthogonality_penalty'):
+        PenaltyExcitedOptimizer(
+            wf, _ham(), _config(orthogonality_penalty=0.0),
+            lower_states=[(wf0, params0)])
+
+
+def test_registry_requires_lower_states():
+    config = _config(wavefunction_type='rbm', fc_layer_size=8)
+    wf = build_wavefunction(config)
+    with pytest.raises(ValueError, match='orthogonal_to'):
+        GROUND_STATE_OPTIMIZERS['ExcitedPenalty'](wf, _ham(), config)
+
+
+@pytest.mark.slow
+def test_penalty_training_converges_to_first_excited():
+    """Trainable dense vector + exact frozen ground state: the penalized
+    minimum is the first excited sector eigenvalue."""
+    rng = np.random.default_rng(3)
+    init = rng.normal(size=V0.shape) * 0.3 + V1  # warmish start, not exact
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(init / np.linalg.norm(init))
+    config = _config(optimizer='adam',
+                     learning_rates=[0.03, 0.01],
+                     learning_rate_stops=[150],
+                     batch_size=256, num_batches_per_epoch=4,
+                     orthogonality_penalty=5.0)
+    opt = PenaltyExcitedOptimizer(wf, _ham(), config,
+                                  lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(4))
+    epoch_fn = jax.jit(opt.epoch)
+    energies, overlaps = [], []
+    for _ in range(260):
+        state, metrics = epoch_fn(state)
+        energies.append(float(metrics['energy']))
+        overlaps.append(float(metrics['overlap']))
+    tail_e = float(np.mean(energies[-30:]))
+    tail_f = float(np.mean(overlaps[-30:]))
+    gap = E1 - E0
+    assert abs(tail_e - E1) < 0.25 * gap, (tail_e, E1, gap)
+    assert tail_e > E0 + 0.5 * gap  # genuinely not the ground state
+    assert abs(tail_f) < 0.05
+
+
+def test_complex_path_overlap_exact():
+    """Complex-log ansatz, psi == psi_0: F-hat == 1 exactly (ratio
+    plumbing through the phase pullback path)."""
+    rng = np.random.default_rng(5)
+    dim = V0.shape[0]
+    modulus = rng.uniform(0.2, 1.0, size=dim).astype(np.float32)
+    phase = rng.uniform(-2.0, 2.0, size=dim).astype(np.float32)
+
+    def make():
+        return ComplexPhaseWavefunction(
+            FullVector.for_sector(N, modulus),
+            FullVector.for_sector(N, np.exp(phase)))
+
+    wf0 = make()
+    params0 = wf0.init(jax.random.key(0))
+    wf = make()
+    opt = PenaltyExcitedOptimizer(wf, _ham(), _config(),
+                                  lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(6))
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert abs(float(metrics['overlap']) - 1.0) < 1e-4
+    assert np.isfinite(float(metrics['grad_norm']))
+
+
+@pytest.mark.slow
+def test_excited_pipeline_from_run_dir(tmp_path):
+    """End-to-end: train a tiny ground-state run, then an ExcitedPenalty
+    run orthogonalized against that run directory (the CLI path)."""
+    from cgs_vmc_tpu.train import train
+
+    ground_dir = str(tmp_path / 'ground')
+    g_config = _config(
+        wavefunction_type='rbm', num_fc_layers=1, fc_layer_size=16,
+        wavefunction_optimizer_type='EnergyGradient',
+        optimizer='adam', learning_rates=[3e-3], learning_rate_stops=[],
+        num_epochs=3, checkpoint_dir=ground_dir)
+    train(g_config)
+
+    ex_dir = str(tmp_path / 'excited')
+    ex_config = _config(
+        wavefunction_type='rbm', num_fc_layers=1, fc_layer_size=16,
+        wavefunction_optimizer_type='ExcitedPenalty',
+        optimizer='adam', learning_rates=[3e-3], learning_rate_stops=[],
+        num_epochs=3, checkpoint_dir=ex_dir,
+        orthogonal_to=[ground_dir])
+    state = train(ex_config)
+    assert 'lower_samplers' in state.extra
+    # Metrics stream exists and carries the overlap column.
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(ex_dir, 'metrics.jsonl'))]
+    assert 'overlap' in lines[-1]
+    assert np.isfinite(lines[-1]['overlap'])
