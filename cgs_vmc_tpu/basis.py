@@ -18,20 +18,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def random_configurations(key: jax.Array, n_sites: int, batch_size: int
-                          ) -> jax.Array:
-    """Random spin configurations in the Sz=0 sector, values ±1, float32.
+def random_configurations(key: jax.Array, n_sites: int, batch_size: int,
+                          n_down: int | None = None) -> jax.Array:
+    """Random spin configurations in a fixed-Sz sector, values ±1, float32.
 
     Functional replacement for the reference's numpy rejection loop
-    (cgs_vmc/utils.py:169-192): permute a half-up/half-down template
-    independently per chain.
+    (cgs_vmc/utils.py:169-192): permute an (n_sites − n_down)-up /
+    n_down-down template independently per chain.  Default sector is
+    Sz=0 (n_down = n_sites // 2), the only one the reference supported;
+    any other sector composes with the Sz-conserving exchange move to
+    train e.g. the lowest triplet (spin-gap measurements).
     """
+    if n_down is None:
+        n_down = n_sites // 2
+    if not 0 <= n_down <= n_sites:
+        raise ValueError(f'n_down must be in [0, {n_sites}], got {n_down}')
     template = jnp.concatenate([
-        jnp.ones((n_sites - n_sites // 2,), jnp.float32),
-        -jnp.ones((n_sites // 2,), jnp.float32),
+        jnp.ones((n_sites - n_down,), jnp.float32),
+        -jnp.ones((n_down,), jnp.float32),
     ])
     keys = jax.random.split(key, batch_size)
     return jax.vmap(lambda k: jax.random.permutation(k, template))(keys)
+
+
+def n_down_for(n_sites: int, total_sz2: int) -> int:
+    """Number of down spins for a total-Sz sector given 2·Sz_total.
+
+    2·Sz_total = n_up − n_down must have the parity of n_sites."""
+    if (n_sites + total_sz2) % 2 != 0 or abs(total_sz2) > n_sites:
+        raise ValueError(
+            f'total_sz2={total_sz2} is not a valid sector for '
+            f'{n_sites} sites: n_up = (n_sites + total_sz2)/2 must be an '
+            'integer in [0, n_sites]')
+    return (n_sites - total_sz2) // 2
 
 
 def random_spin_configurations(key: jax.Array, n_sites: int,

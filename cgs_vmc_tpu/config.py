@@ -117,6 +117,12 @@ class Config:
     # the reference's move, graph_builders.py:59-65) | 'flip' (single
     # spin flip over the full 2^N space, for non-conserving Hamiltonians).
     mc_move_type: str = 'exchange'
+    # Twice the total-Sz sector the exchange-move chains sample (the move
+    # conserves Sz, so the init pins the sector): 0 = the reference's
+    # Sz=0 sector; e.g. 2 = the Sz=1 (lowest-triplet) sector for
+    # spin-gap measurements.  Must have the parity of num_sites; only
+    # meaningful with mc_move_type='exchange'.
+    total_sz2: int = 0
     # Next-nearest-neighbour coupling J2/J1 (frustrated J1-J2 model on the
     # chain or square lattice; 0 = plain nearest-neighbour Heisenberg).
     heisenberg_j2: float = 0.0

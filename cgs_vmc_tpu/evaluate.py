@@ -193,7 +193,10 @@ def evaluate_vector(
         if config.basis_file_path:
             basis_array = basis_lib.load_basis_file(config.basis_file_path)
         else:
-            basis_array = basis_lib.enumerate_sz_basis(config.num_sites)
+            basis_array = basis_lib.enumerate_sz_basis(
+                config.num_sites,
+                basis_lib.n_down_for(config.num_sites,
+                                     getattr(config, 'total_sz2', 0)))
     configs = jnp.asarray(basis_array, jnp.float32)
 
     batch = max(config.batch_size, 1)

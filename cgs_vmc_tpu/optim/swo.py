@@ -517,7 +517,10 @@ class BasisIterationSWO(_SWOBase):
             if config.basis_file_path:
                 basis_array = basis_lib.load_basis_file(config.basis_file_path)
             else:
-                basis_array = basis_lib.enumerate_sz_basis(config.num_sites)
+                basis_array = basis_lib.enumerate_sz_basis(
+                    config.num_sites,
+                    basis_lib.n_down_for(config.num_sites,
+                                         getattr(config, 'total_sz2', 0)))
         # Host numpy (DEVELOPMENT.md constant rule); traced gathers use
         # jnp.take so the table lowers as a host constant.
         self.basis = np.asarray(basis_array, np.float32)

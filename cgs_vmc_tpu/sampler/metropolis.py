@@ -39,22 +39,25 @@ class SamplerState(NamedTuple):
 
 def init_sampler(key: jax.Array, wf: Wavefunction, params: Params,
                  n_sites: int, n_chains: int,
-                 full_space: bool = False) -> SamplerState:
-    """Random Sz=0 chains + their amplitudes (reference utils.py:169-192
+                 full_space: bool = False,
+                 n_down: int | None = None) -> SamplerState:
+    """Random fixed-Sz chains + their amplitudes (reference utils.py:169-192
     for the initializer; amplitudes cached so each proposal needs only one
     new forward pass, vs the reference's two, graph_builders.py:54-55,74).
 
     full_space: initialize uniformly over the full 2^N space instead of
-    the Sz=0 sector — required with the non-conserving 'flip' move
+    a fixed-Sz sector — required with the non-conserving 'flip' move
     (non-Sz-conserving Hamiltonians, e.g. the transverse-field Ising
-    model)."""
+    model).
+    n_down: Sz sector (default Sz=0); the exchange move conserves it, so
+    the init alone pins the sampled sector."""
     init_key, chain_key = jax.random.split(key)
     if full_space:
         configs = basis_lib.random_spin_configurations(
             init_key, n_sites, n_chains)
     else:
         configs = basis_lib.random_configurations(init_key, n_sites,
-                                                  n_chains)
+                                                  n_chains, n_down)
     amp = wf.apply(params, configs)
     return SamplerState(
         configs=configs,
@@ -182,7 +185,15 @@ def move_type(config) -> str:
 def init_sampler_for(key: jax.Array, wf: Wavefunction, params: Params,
                      config, n_chains: int | None = None) -> SamplerState:
     """Config-aware init: full-space chains when the move is 'flip';
-    a parallel-tempering ladder when config.pt_replicas >= 2."""
+    a parallel-tempering ladder when config.pt_replicas >= 2; a
+    non-default Sz sector when config.total_sz2 != 0."""
+    full_space = move_type(config) == 'flip'
+    total_sz2 = getattr(config, 'total_sz2', 0)
+    if full_space and total_sz2:
+        raise ValueError(
+            "total_sz2 != 0 requires the Sz-conserving 'exchange' move: "
+            "single-spin flips do not stay in a fixed-Sz sector")
+    n_down = basis_lib.n_down_for(config.num_sites, total_sz2)
     n_replicas = getattr(config, 'pt_replicas', 0)
     if n_replicas and n_replicas >= 2:
         from cgs_vmc_tpu.sampler import tempering
@@ -190,10 +201,10 @@ def init_sampler_for(key: jax.Array, wf: Wavefunction, params: Params,
             key, wf, params, config.num_sites,
             n_chains or config.batch_size, n_replicas,
             getattr(config, 'pt_beta_min', 0.4),
-            full_space=move_type(config) == 'flip')
+            full_space=full_space, n_down=n_down)
     return init_sampler(key, wf, params, config.num_sites,
                         n_chains or config.batch_size,
-                        full_space=move_type(config) == 'flip')
+                        full_space=full_space, n_down=n_down)
 
 
 def refresh_amplitudes(wf: Wavefunction, params: Params,

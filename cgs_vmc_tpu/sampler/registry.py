@@ -163,6 +163,9 @@ def _register_builtins() -> None:
         # baseline (same contract as every other automatic entry).
         if not _exchange_only(config):
             return False
+        if getattr(config, 'total_sz2', 0):
+            # AR conditionals are Sz=0-sector-projected.
+            return False
         if not getattr(config, 'use_fast_sampler', True):
             return False
         from cgs_vmc_tpu.sampler import fast_ar
@@ -201,6 +204,9 @@ def _register_builtins() -> None:
         # natively; on CPU the TPU-interpreter fallback is slower than
         # the generic path.
         if not _exchange_only(config):
+            return False
+        if getattr(config, 'total_sz2', 0):
+            # kernels.sample_picks ranks exactly n_sites//2 down spins.
             return False
         if not getattr(config, 'use_fast_sampler', True):
             return False
@@ -241,6 +247,10 @@ def _register_builtins() -> None:
     def pbdg_supports(wf, config):
         # Pure-XLA incremental path: beneficial on every backend.
         if not _exchange_only(config):
+            return False
+        if getattr(config, 'total_sz2', 0):
+            # The pairing submatrix is n/2 x n/2 (half-filling; the
+            # ProjectedBDG ansatz itself assumes the Sz=0 sector).
             return False
         if not getattr(config, 'use_fast_sampler', True):
             return False

@@ -80,13 +80,15 @@ def geometric_ladder(n_replicas: int, beta_min: float) -> jnp.ndarray:
 def init_pt_sampler(key: jax.Array, wf: Wavefunction, params: Params,
                     n_sites: int, n_chains: int, n_replicas: int,
                     beta_min: float,
-                    full_space: bool = False) -> PTSamplerState:
+                    full_space: bool = False,
+                    n_down: int | None = None) -> PTSamplerState:
     init_key, chain_key, swap_key = jax.random.split(key, 3)
     total = n_chains * n_replicas
     if full_space:
         flat = basis_lib.random_spin_configurations(init_key, n_sites, total)
     else:
-        flat = basis_lib.random_configurations(init_key, n_sites, total)
+        flat = basis_lib.random_configurations(init_key, n_sites, total,
+                                               n_down)
     amp = wf.apply(params, flat)
     configs = flat.reshape(n_chains, n_replicas, n_sites)
     logs = amp.log.reshape(n_chains, n_replicas)
