@@ -3,7 +3,10 @@ new SR optimizer required by the rebuild spec)."""
 
 from cgs_vmc_tpu.optim.common import SgdOptimizer, TrainState, make_optax_optimizer
 from cgs_vmc_tpu.optim.energy_gradient import EnergyGradientOptimizer
-from cgs_vmc_tpu.optim.excited import PenaltyExcitedOptimizer
+from cgs_vmc_tpu.optim.excited import (
+    PenaltyExcitedOptimizer,
+    SRPenaltyExcitedOptimizer,
+)
 from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
 from cgs_vmc_tpu.optim.swo import (
     BasisIterationSWO,
@@ -20,6 +23,7 @@ GROUND_STATE_OPTIMIZERS = {
     'ITSWO': ImaginaryTimeSWO,
     'SR': StochasticReconfiguration,
     'ExcitedPenalty': PenaltyExcitedOptimizer,
+    'ExcitedSR': SRPenaltyExcitedOptimizer,
 }
 
 SUPERVISED_OPTIMIZERS = {
@@ -32,7 +36,7 @@ SUPERVISED_OPTIMIZERS = {
 __all__ = [
     'TrainState', 'SgdOptimizer', 'make_optax_optimizer',
     'EnergyGradientOptimizer', 'StochasticReconfiguration',
-    'PenaltyExcitedOptimizer',
+    'PenaltyExcitedOptimizer', 'SRPenaltyExcitedOptimizer',
     'ImaginaryTimeSWO', 'LogOverlapImaginaryTimeSWO',
     'SupervisedWavefunctionOptimizer', 'LogOverlapSWO', 'DualSamplingSWO',
     'BasisIterationSWO',

@@ -42,6 +42,7 @@ from cgs_vmc_tpu.models.base import Params, Wavefunction
 from cgs_vmc_tpu.ops.heisenberg import Operator
 from cgs_vmc_tpu.optim import common
 from cgs_vmc_tpu.optim.common import TrainState
+from cgs_vmc_tpu.optim.sr import StochasticReconfiguration
 from cgs_vmc_tpu.sampler import metropolis
 
 
@@ -308,3 +309,104 @@ class PenaltyExcitedOptimizer:
             extra={**state.extra, 'lower_samplers': lower_samplers},
         )
         return new_state, metrics
+
+
+class SRPenaltyExcitedOptimizer(StochasticReconfiguration):
+    """Natural-gradient excited-state search: 'ExcitedSR'.
+
+    The penalty force is a covariance over the psi-samples,
+
+        dF = 2 Re[ F/A * <conj(r) O>_X  -  F <O_r>_X ],   A = <r>_X,
+
+    i.e. exactly the form minSR already solves — so the whole SR pipeline
+    (dense/dense_cg/sample_cg/cg solvers, trust region, residual
+    rejection) applies unchanged with an EFFECTIVE local value
+
+        e_solver(x) = E_loc(x) + lambda * sum_k (F_k/A_k) * r_k(x)
+
+    (the -F<O_r> piece emerges from the solver's own centering).  For a
+    real ansatz F/A = <s>_Y, the frozen-chain mean — no division.  The
+    frozen lower chains only set the scalar coefficients, so they advance
+    by num_monte_carlo_sweeps per epoch.
+    """
+
+    name = 'ExcitedSR'
+
+    def __init__(self, wf: Wavefunction, hamiltonian: Operator, config,
+                 lower_states: Optional[
+                     Sequence[Tuple[Wavefunction, Params]]] = None):
+        super().__init__(wf, hamiltonian, config)
+        if lower_states is None:
+            if not getattr(config, 'orthogonal_to', ()):
+                raise ValueError(
+                    "ExcitedSR needs frozen lower states: set "
+                    "config.orthogonal_to (run dirs or params artifacts) "
+                    "or pass lower_states=[(wf, params), ...]")
+            lower_states = load_frozen_states(config)
+        self.lower_wfs = [wf_k for wf_k, _ in lower_states]
+        self.lower_params = [p_k for _, p_k in lower_states]
+        self.penalty = float(getattr(config, 'orthogonality_penalty', 10.0))
+        if self.penalty <= 0.0:
+            raise ValueError(
+                f'orthogonality_penalty must be > 0 (got {self.penalty})')
+        self.lower_sweeps = [common.make_sweeps_fn(wf_k, config)
+                             for wf_k in self.lower_wfs]
+
+    def init_state(self, key: jax.Array, n_local_chains: Optional[int] = None
+                   ) -> TrainState:
+        cfg = self.config
+        base_key, *lower_keys = jax.random.split(
+            key, 1 + len(self.lower_wfs))
+        state = super().init_state(base_key, n_local_chains)
+        lower_samplers = []
+        for i, (wf_k, p_k) in enumerate(zip(self.lower_wfs,
+                                            self.lower_params)):
+            smp = metropolis.init_sampler_for(
+                lower_keys[i], wf_k, p_k, cfg, n_local_chains)
+            smp = self.lower_sweeps[i](p_k, smp,
+                                       cfg.num_equilibration_sweeps)
+            lower_samplers.append(smp)
+        return state._replace(
+            extra={**state.extra, 'lower_samplers': lower_samplers})
+
+    def _solver_residual(self, params, all_configs, amp, e_loc, state,
+                         axis_name):
+        cfg = self.config
+        is_complex = jnp.iscomplexobj(amp.log)
+        lowers = [metropolis.reset_stats(s)
+                  for s in state.extra['lower_samplers']]
+        if not is_complex and any(
+                jnp.iscomplexobj(s.log_amp) for s in lowers):
+            raise NotImplementedError(
+                'complex frozen lower states require a complex-log '
+                'variational ansatz')
+        e_solver = e_loc
+        overlap_total = jnp.zeros((), jnp.float32)
+        new_lowers = []
+        for k, (wf_k, p_k) in enumerate(zip(self.lower_wfs,
+                                            self.lower_params)):
+            amp_kx = wf_k.apply(p_k, all_configs)
+            r = jax.lax.stop_gradient(common.normalized_ratio(amp_kx, amp))
+            a_k = common.pmean(jnp.mean(r), axis_name)
+
+            l_smp = lowers[k]
+            y = l_smp.configs
+            amp_y = self.wf.apply(params, y)
+            amp_ky = wf_k.apply(p_k, y)
+            s = jax.lax.stop_gradient(
+                common.normalized_ratio(amp_y, amp_ky))
+            b_k = common.pmean(jnp.mean(s), axis_name)
+
+            fid = jnp.real(a_k * b_k)
+            overlap_total = overlap_total + fid
+            denom = a_k + jnp.where(
+                jnp.abs(a_k) < 1e-20,
+                jnp.asarray(1e-20, a_k.dtype), jnp.asarray(0, a_k.dtype))
+            coeff = jax.lax.stop_gradient(fid / denom)
+            e_solver = e_solver + self.penalty * coeff * r
+
+            new_lowers.append(self.lower_sweeps[k](
+                p_k, l_smp, cfg.num_monte_carlo_sweeps))
+
+        extra = {**state.extra, 'lower_samplers': new_lowers}
+        return e_solver, extra, {'overlap': overlap_total}

@@ -155,20 +155,27 @@ class StochasticReconfiguration:
         e_mean = common.pmean(jnp.mean(e_loc), axis_name)
         e2_mean = common.pmean(jnp.mean(jnp.abs(e_loc) ** 2), axis_name)
 
+        # Residual hook: subclasses may augment the solver's local values
+        # (e.g. the excited-state penalty adds λ·<s>·r, optim/excited.py)
+        # while the reported energy stays the raw <E_loc>.
+        e_solver, extra_state, extra_metrics = self._solver_residual(
+            params, all_configs, amp, e_loc, state, axis_name)
+        e_solver_mean = common.pmean(jnp.mean(e_solver), axis_name)
+
         def log_fn(p):
             return wf.apply(p, all_configs).log
 
         solver = cfg.sr_solver
         if solver in ('dense', 'dense_cg'):
             delta, grad_e, residual_norm = self._dense_solve(
-                all_configs, params, e_loc, e_mean, axis_name,
+                all_configs, params, e_solver, e_solver_mean, axis_name,
                 use_cg=(solver == 'dense_cg'))
         elif solver == 'sample_cg':
             delta, grad_e, residual_norm = self._sample_cg_solve(
-                all_configs, params, e_loc, e_mean, axis_name)
+                all_configs, params, e_solver, e_solver_mean, axis_name)
         else:
             delta, grad_e, residual_norm = self._cg_solve(
-                log_fn, params, e_loc, e_mean, m_local, axis_name)
+                log_fn, params, e_solver, e_solver_mean, m_local, axis_name)
 
         # Robustness: non-finite solve falls back to the raw gradient;
         # trust-region clip on the natural-gradient norm; optionally skip
@@ -200,15 +207,27 @@ class StochasticReconfiguration:
                 metropolis.acceptance_rate(sampler), axis_name),
             'grad_norm': common.grad_global_norm(grad_e),
             'sr_residual_norm': residual_norm,
+            **extra_metrics,
         }
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             sampler=sampler,
             epoch=state.epoch + 1,
-            extra=state.extra,
+            extra=extra_state,
         )
         return new_state, metrics
+
+    def _solver_residual(self, params, all_configs, amp, e_loc, state,
+                         axis_name):
+        """Hook: (solver local values, new extra dict, extra metrics).
+
+        The base optimizer solves against the plain local energies;
+        subclasses may add penalty terms expressible as extra local
+        values over the SAME samples (any force of covariance form
+        cov(w, O) folds into minSR as e_loc + w)."""
+        del params, all_configs, amp, axis_name
+        return e_loc, dict(state.extra), {}
 
     # ------------------------------------------------------------------
     # Solvers.

@@ -184,3 +184,61 @@ def test_excited_pipeline_from_run_dir(tmp_path):
              open(os.path.join(ex_dir, 'metrics.jsonl'))]
     assert 'overlap' in lines[-1]
     assert np.isfinite(lines[-1]['overlap'])
+
+
+# ---------------------------------------------------------------------------
+# SR-preconditioned variant ('ExcitedSR'): the penalty force folds into
+# minSR as an effective local value E_loc + lambda*(F/A)*r.
+
+def test_sr_excited_overlap_exact_for_identical_states():
+    from cgs_vmc_tpu.optim.excited import SRPenaltyExcitedOptimizer
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(V0)
+    config = _config(sr_diag_shift=1e-2)
+    opt = SRPenaltyExcitedOptimizer(wf, _ham(), config,
+                                    lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(7))
+    state, metrics = jax.jit(opt.epoch)(state)
+    assert abs(float(metrics['overlap']) - 1.0) < 1e-4
+    assert abs(float(metrics['energy']) - E0) < 1e-3
+
+
+@pytest.mark.slow
+def test_sr_excited_converges_to_first_excited():
+    """Natural-gradient penalty descent: same target as the adam path but
+    through the SR solve — converges in far fewer epochs."""
+    from cgs_vmc_tpu.optim.excited import SRPenaltyExcitedOptimizer
+    rng = np.random.default_rng(8)
+    init = rng.normal(size=V0.shape) * 0.3 + V1  # warmish start (as adam)
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(init / np.linalg.norm(init))
+    config = _config(optimizer='gradient',
+                     learning_rates=[0.08, 0.03],
+                     learning_rate_stops=[60],
+                     batch_size=256, num_batches_per_epoch=4,
+                     sr_diag_shift=1e-2,
+                     orthogonality_penalty=5.0)
+    opt = SRPenaltyExcitedOptimizer(wf, _ham(), config,
+                                    lower_states=[(wf0, params0)])
+    state = opt.init_state(jax.random.key(9))
+    epoch_fn = jax.jit(opt.epoch)
+    energies, overlaps = [], []
+    for _ in range(120):
+        state, metrics = epoch_fn(state)
+        energies.append(float(metrics['energy']))
+        overlaps.append(float(metrics['overlap']))
+    tail_e = float(np.mean(energies[-20:]))
+    tail_f = float(np.mean(overlaps[-20:]))
+    gap = E1 - E0
+    assert abs(tail_e - E1) < 0.25 * gap, (tail_e, E1, gap)
+    assert tail_e > E0 + 0.5 * gap
+    assert abs(tail_f) < 0.05
+
+
+def test_sr_excited_registry_and_requirements():
+    from cgs_vmc_tpu.optim.excited import SRPenaltyExcitedOptimizer
+    assert GROUND_STATE_OPTIMIZERS['ExcitedSR'] is SRPenaltyExcitedOptimizer
+    config = _config(wavefunction_type='rbm', fc_layer_size=8)
+    wf = build_wavefunction(config)
+    with pytest.raises(ValueError, match='orthogonal_to'):
+        SRPenaltyExcitedOptimizer(wf, _ham(), config)
