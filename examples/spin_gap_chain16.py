@@ -51,9 +51,9 @@ def base_config(**kwargs) -> Config:
 def run(opt_name, config, epochs, lower_states=None, tail=40):
     wf = build_wavefunction(config)
     ham = HeisenbergHamiltonian(BONDS, JX, 1.0)
-    if opt_name == 'ExcitedPenalty':
-        opt = PenaltyExcitedOptimizer(wf, ham, config,
-                                      lower_states=lower_states)
+    if opt_name in ('ExcitedPenalty', 'ExcitedSR'):
+        opt = GROUND_STATE_OPTIMIZERS[opt_name](wf, ham, config,
+                                                lower_states=lower_states)
     else:
         opt = GROUND_STATE_OPTIMIZERS[opt_name](wf, ham, config)
     state = opt.init_state(jax.random.key(config.seed))
@@ -106,11 +106,21 @@ def main():
     print(f'  E_t(VMC) = {et:.5f} ± {et_sd:.5f}  '
           f'rel {abs(et - et_ed)/abs(et_ed):.2e}')
 
-    print('== (b) RBM first excited, penalty vs trained ground state, Sz=0')
+    print('== (b) complex(rbm x fc) first excited, ExcitedSR penalty, Sz=0')
+    # A POSITIVE ansatz cannot represent the in-sector first excited
+    # state (it changes sign even in the Marshall gauge; the best
+    # positive state orthogonal to the ground state sits far above E1) —
+    # the penalty method needs a sign-capable ansatz, so the modulus RBM
+    # gets a phase network: complex(rbm x fully_connected).
     x_cfg = base_config(
-        optimizer='adam', learning_rates=[0.01, 0.004],
-        learning_rate_stops=[500], orthogonality_penalty=5.0, seed=9)
-    _, _, ex, ex_sd, ov = run('ExcitedPenalty', x_cfg, 800,
+        wavefunction_type='complex',
+        composite_wavefunction_types=('rbm', 'fully_connected'),
+        composite_output_activations=('exp', 'exp'),
+        num_fc_layers=2, fc_layer_size=32,
+        optimizer='gradient', learning_rates=[0.05, 0.02],
+        learning_rate_stops=[400], sr_diag_shift=1e-2,
+        orthogonality_penalty=5.0, seed=9)
+    _, _, ex, ex_sd, ov = run('ExcitedSR', x_cfg, 600,
                               lower_states=[(wf0, st0.params)])
     f_tail = float(np.mean(ov)) if ov else float('nan')
     print(f'  E1(VMC) = {ex:.5f} ± {ex_sd:.5f}  '

@@ -242,3 +242,37 @@ def test_sr_excited_registry_and_requirements():
     wf = build_wavefunction(config)
     with pytest.raises(ValueError, match='orthogonal_to'):
         SRPenaltyExcitedOptimizer(wf, _ham(), config)
+
+
+@pytest.mark.slow
+def test_sr_excited_second_state_with_two_lower_states():
+    """Orthogonalize against BOTH exact lowest states: the minimizer is
+    pinned to the second-excited shelf (between the E1/E2 and E2/E3
+    midpoints — convergence onto E2 itself is slow near the end, but the
+    level selection is unambiguous)."""
+    from cgs_vmc_tpu.optim.excited import SRPenaltyExcitedOptimizer
+    E2, E3 = float(_VALS[2]), float(_VALS[3])
+    V2 = _VECS[:, 2]
+    rng = np.random.default_rng(12)
+    init = rng.normal(size=V2.shape) * 0.3 + V2
+    wf0, params0 = _vector_state(V0)
+    wf1, params1 = _vector_state(V1)
+    wf, _ = _vector_state(init / np.linalg.norm(init))
+    config = _config(optimizer='gradient',
+                     learning_rates=[0.08], learning_rate_stops=[],
+                     batch_size=512, num_batches_per_epoch=4,
+                     sr_diag_shift=1e-2, orthogonality_penalty=5.0)
+    opt = SRPenaltyExcitedOptimizer(
+        wf, _ham(), config,
+        lower_states=[(wf0, params0), (wf1, params1)])
+    state = opt.init_state(jax.random.key(13))
+    epoch_fn = jax.jit(opt.epoch)
+    energies, overlaps = [], []
+    for _ in range(250):
+        state, metrics = epoch_fn(state)
+        energies.append(float(metrics['energy']))
+        overlaps.append(float(metrics['overlap']))
+    tail_e = float(np.mean(energies[-30:]))
+    assert tail_e < E2 + 0.5 * (E3 - E2), (tail_e, E2, E3)
+    assert tail_e > E1 + 0.5 * (E2 - E1), (tail_e, E1, E2)
+    assert abs(float(np.mean(overlaps[-30:]))) < 0.05
