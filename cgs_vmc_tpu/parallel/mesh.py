@@ -68,17 +68,22 @@ def chains_per_device(batch_size: int, mesh: Mesh) -> int:
 
 def train_state_specs(state: TrainState) -> TrainState:
     """PartitionSpecs for a TrainState: sampler leaves shard on their
-    leading (chain) axis, everything else replicates.  A SamplerState held
-    in ``extra`` (DualSamplingSWO's target sampler) also shards."""
+    leading (chain) axis, everything else replicates.  SamplerStates held
+    in ``extra`` — directly (DualSamplingSWO's target sampler) or inside
+    lists/tuples (the excited-state optimizers' frozen lower-state
+    samplers) — also shard."""
     from cgs_vmc_tpu.sampler.metropolis import SamplerState
 
-    sampler_specs = jax.tree.map(lambda _: P(CHAINS_AXIS), state.sampler)
-    extra_specs = {}
-    for name, value in state.extra.items():
+    def extra_spec(value):
         if isinstance(value, SamplerState):
-            extra_specs[name] = jax.tree.map(lambda _: P(CHAINS_AXIS), value)
-        else:
-            extra_specs[name] = jax.tree.map(lambda _: P(), value)
+            return jax.tree.map(lambda _: P(CHAINS_AXIS), value)
+        if isinstance(value, (list, tuple)):
+            return type(value)(extra_spec(v) for v in value)
+        return jax.tree.map(lambda _: P(), value)
+
+    sampler_specs = jax.tree.map(lambda _: P(CHAINS_AXIS), state.sampler)
+    extra_specs = {name: extra_spec(value)
+                   for name, value in state.extra.items()}
     return TrainState(
         params=jax.tree.map(lambda _: P(), state.params),
         opt_state=jax.tree.map(lambda _: P(), state.opt_state),

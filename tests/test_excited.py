@@ -276,3 +276,34 @@ def test_sr_excited_second_state_with_two_lower_states():
     assert tail_e < E2 + 0.5 * (E3 - E2), (tail_e, E2, E3)
     assert tail_e > E1 + 0.5 * (E2 - E1), (tail_e, E1, E2)
     assert abs(float(np.mean(overlaps[-30:]))) < 0.05
+
+
+def test_excited_sr_sharded_epoch_matches_oracle():
+    """8-device mesh: the lower-state samplers (a LIST of SamplerStates in
+    extra) shard on the chains axis, and the F==1 identical-state oracle
+    holds under shard_map with pmean'd overlap moments."""
+    from cgs_vmc_tpu.optim.excited import SRPenaltyExcitedOptimizer
+    from cgs_vmc_tpu.parallel import mesh as mesh_lib
+
+    n_dev = 8
+    wf0, params0 = _vector_state(V0)
+    wf, _ = _vector_state(V0)
+    config = _config(batch_size=4 * n_dev, num_batches_per_epoch=2,
+                     sr_diag_shift=1e-2)
+    opt = SRPenaltyExcitedOptimizer(wf, _ham(), config,
+                                    lower_states=[(wf0, params0)])
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    state = opt.init_state(jax.random.key(21), config.batch_size)
+    _, metric_shapes = jax.eval_shape(opt.epoch, state)
+    epoch_fn = mesh_lib.sharded_epoch_fn(
+        opt.epoch, device_mesh, state, list(metric_shapes))
+    state = mesh_lib.shard_train_state(state, device_mesh)
+
+    # The frozen lower chains shard over devices (not replicated).
+    lower_configs = state.extra['lower_samplers'][0].configs
+    assert len(lower_configs.addressable_shards) == n_dev
+    assert lower_configs.addressable_shards[0].data.shape[0] == 4
+
+    state, metrics = epoch_fn(state)
+    assert abs(float(metrics['overlap']) - 1.0) < 1e-4
+    assert abs(float(metrics['energy']) - E0) < 1e-3
