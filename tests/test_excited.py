@@ -307,3 +307,63 @@ def test_excited_sr_sharded_epoch_matches_oracle():
     state, metrics = epoch_fn(state)
     assert abs(float(metrics['overlap']) - 1.0) < 1e-4
     assert abs(float(metrics['energy']) - E0) < 1e-3
+
+
+def test_penalty_force_identity_against_dense_autodiff():
+    """EXACT algebra check of the X-form penalty force used by ExcitedSR:
+    with exact enumeration weights, 2*Re<O*(v - v_bar)> for
+    v = (F/A)*psi_k/psi equals jax.grad of the dense fidelity
+    F = |<psi_k|psi>|^2 / (<psi_k|psi_k><psi|psi>) — complex ansatz,
+    complex frozen state, machine precision."""
+    import jax.flatten_util
+    from cgs_vmc_tpu import basis as basis_lib
+
+    n = 6
+    states = jnp.asarray(basis_lib.enumerate_sz_basis(n))
+    dim = states.shape[0]
+    rng = np.random.default_rng(2)
+    wf = ComplexPhaseWavefunction(
+        FullVector.for_sector(n, rng.uniform(0.3, 1.0, dim)
+                              .astype(np.float32)),
+        FullVector.for_sector(n, np.exp(rng.uniform(-1, 1, dim))
+                              .astype(np.float32)))
+    params = wf.init(jax.random.key(0))
+    psi0 = jnp.asarray((rng.normal(size=dim) + 1j * rng.normal(size=dim))
+                       .astype(np.complex64))
+
+    def amps(p):
+        a = wf.apply(p, states)
+        return a.sign * jnp.exp(a.log)
+
+    def dense_fidelity(p):
+        psi = amps(p)
+        num = jnp.abs(jnp.vdot(psi0, psi)) ** 2
+        return jnp.real(num / (jnp.vdot(psi0, psi0).real
+                               * jnp.vdot(psi, psi).real))
+
+    df_exact = jax.grad(dense_fidelity)(params)
+
+    psi = amps(params)
+    p = jnp.abs(psi) ** 2
+    p = p / p.sum()
+    p0 = jnp.abs(psi0) ** 2
+    p0 = p0 / p0.sum()
+    r = psi0 / psi
+    a_coef = jnp.sum(p * r)
+    b_coef = jnp.sum(p0 * (psi / psi0))
+    fid = jnp.real(a_coef * b_coef)
+    v = (fid / a_coef) * r
+    w = v - jnp.sum(p * v)
+
+    def log_phase(pp):
+        amp = wf.apply(pp, states)
+        return amp.log.real, amp.log.imag
+
+    _, vjp = jax.vjp(log_phase, params)
+    force = vjp((p * jnp.real(w), p * jnp.imag(w)))[0]
+
+    flat_e, _ = jax.flatten_util.ravel_pytree(df_exact)
+    flat_f, _ = jax.flatten_util.ravel_pytree(
+        jax.tree.map(lambda x: 2.0 * x, force))
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_e),
+                               atol=1e-6)
