@@ -530,9 +530,11 @@ class BasisIterationSWO(_SWOBase):
         del n_local_chains  # no MCMC chains in this optimizer
         k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
-        # A dummy 1-chain sampler keeps TrainState uniform across optimizers.
+        # A dummy sampler keeps TrainState uniform across optimizers; it is
+        # sized to the device count so shard_train_state can split it over
+        # any chains mesh (its contents are never read by this optimizer).
         sampler = metropolis.init_sampler_for(
-            k2, self.wf, params, self.config, 1)
+            k2, self.wf, params, self.config, jax.device_count())
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),
@@ -544,6 +546,26 @@ class BasisIterationSWO(_SWOBase):
             extra={'target': target_params, 'data_key': k3},
         )
 
+    def _epoch_indices(self, perm_key: jax.Array,
+                       axis_name: Optional[str]) -> jax.Array:
+        """Flat basis-row index stream for one epoch.
+
+        Shuffled full-basis iteration (reference training.py:242-251): a
+        fresh permutation per epoch, consumed in order; when the epoch
+        needs more rows than the basis holds, the permutation is tiled
+        (cycling without replacement inside each pass, static shapes).
+        Under shard_map the data_key is replicated, so each device reads a
+        DISJOINT slice of the shared permutation (offset by its
+        axis_index) — multi-device distillation then genuinely adds
+        samples instead of pmean-ing N identical gradients.
+        """
+        cfg = self.config
+        n_rows = cfg.num_batches_per_epoch * cfg.batch_size
+        perm = jax.random.permutation(perm_key, self.basis.shape[0])
+        dev = 0 if axis_name is None else lax.axis_index(axis_name)
+        offsets = (jnp.arange(n_rows) + dev * n_rows) % self.basis.shape[0]
+        return perm[offsets]
+
     def epoch(self, state: TrainState, axis_name: Optional[str] = None
               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         cfg = self.config
@@ -553,13 +575,7 @@ class BasisIterationSWO(_SWOBase):
         batch = cfg.batch_size
 
         data_key, perm_key = jax.random.split(state.extra['data_key'])
-        # Shuffled full-basis iteration (reference training.py:242-251):
-        # a fresh permutation per epoch, consumed in order; when the epoch
-        # needs more rows than the basis holds, the permutation is tiled
-        # (cycling without replacement inside each pass, static shapes).
-        n_rows = cfg.num_batches_per_epoch * batch
-        perm = jax.random.permutation(perm_key, self.basis.shape[0])
-        idx = perm[jnp.arange(n_rows) % self.basis.shape[0]]
+        idx = self._epoch_indices(perm_key, axis_name)
         idx = idx.reshape(cfg.num_batches_per_epoch, batch)
 
         def batch_step(carry, batch_idx):
