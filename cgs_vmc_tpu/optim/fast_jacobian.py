@@ -26,6 +26,18 @@ SymmetrizedWavefunction (site-permutation orbit x global spin flip),
 plus the masked-conv autoregressive model.  `rows_fn_for` returns None
 for anything else and callers fall back to the generic path, mirroring
 the sampler fast-path registry (sampler/registry.py).
+
+NEGATIVE RESULT (round 4, measured on TPU v5e hardware —
+examples/profile_sr_epoch5.py): inside the full SR epoch this
+formulation is ~4x SLOWER than the generic vmap(grad) rows on the
+flagship (solve phase 0.70 s vs 0.17 s at M=4096, and worse at larger
+jac chunks).  The microbenchmark that motivated it (isolated grouped
+conv at ~3 TF/s, examples/jac_experiment.py) did not survive whole-
+program compilation: XLA fuses the grouped-conv backward into the
+surrounding epoch far better than it schedules the per-sample
+broadcast-GEMM chain, whose [M, o, k*k*c] patch tensors round-trip
+through HBM.  `config.sr_fast_jacobian` therefore defaults to False;
+the module stays as a correct (bit-tested) opt-in.
 """
 
 from __future__ import annotations

@@ -38,15 +38,15 @@ cfg = Config(num_sites=N, size_x=12, size_y=12,
              learning_rates=[0.02, 0.01, 0.004, 0.0015],
              learning_rate_stops=[300, 700, 1100],
              optimizer='gradient', heisenberg_jx=-1.0,
-             # chunk 256: the fast-Jacobian path keeps each layer's im2col
-             # patches ([c, n_ops*144, 288] f32) alive for the vjp — at
-             # c=256 that is ~0.7 GB/layer x 7 layers, comfortably in HBM.
+             # chunk 256 bounds the vmap(grad) backward activation memory
+             # (x16 symmetry orbit) to a comfortable HBM slice at N=144.
              sr_diag_shift=1e-2, sr_solver='sample_cg', sr_delta_clip=1.0,
              sr_reject_residual=0.5, sr_jacobian_chunk=256,
              sr_cg_tol=1e-5, sr_cg_maxiter=200,
-             # CGS_FASTJAC=0 falls back to vmap(grad) rows if the im2col
-             # fast path proves too HBM-hungry at this size.
-             sr_fast_jacobian=bool(int(os.environ.get('CGS_FASTJAC', '1'))),
+             # Round-4 hardware verdict: vmap(grad) rows beat the im2col
+             # fast path ~4x inside the epoch (profile_sr_epoch5) — default
+             # off; CGS_FASTJAC=1 re-enables for experiments.
+             sr_fast_jacobian=bool(int(os.environ.get('CGS_FASTJAC', '0'))),
              symmetrize=True, seed=41)
 END = 1400
 bonds = lattice.square_lattice_bonds(12, 12)
