@@ -107,6 +107,13 @@ def _sweep_kernel(configs_ref, theta_ref, logamp_ref,
         # transcendental evaluation, and an accepted exchange changes the
         # cumulative count only at sites ≥ the two flipped positions —
         # a two-compare update instead of a log₂(n)-roll rescan.
+        #
+        # Measured negative result (round 4, v5e, bench.py shapes): carrying
+        # only the hidden-axis SUM of logcosh (a [width] vector) instead of
+        # the full [width, hidden] table is ~25% SLOWER (4.8k vs 6.4k
+        # sweeps/s) despite fewer carried bytes — the [width]-shaped
+        # reduce + scalar-ish updates on the serial critical path lower
+        # worse under Mosaic than full-vreg lerps. Keep the table.
         theta, lc, log_amp, accepted, count, total_down = carry
         cols = slice(g * width, (g + 1) * width)
         cfg = out_configs[:, cols]                # [n_sites, width]

@@ -272,6 +272,7 @@ def test_pixelcnn_sampling_and_dispatch():
     assert tv < 0.05, f'TV distance {tv}'
 
 
+@pytest.mark.slow
 def test_pixelcnn_trains_on_4x4():
     """MCMC-free SR on the Marshall-gauged 4x4 square lattice."""
     from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian

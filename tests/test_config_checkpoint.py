@@ -77,6 +77,7 @@ def test_checkpoint_roundtrip_full_state(tmp_path):
     assert int(restored.epoch) == int(state.epoch)
 
 
+@pytest.mark.slow
 def test_orbax_backend_roundtrip(tmp_path):
     """The orbax backend round-trips the full TrainState (incl. PRNG
     keys) and interoperates with latest_checkpoint/restore dispatch."""

@@ -7,6 +7,7 @@ transform must peak at exact excitation energies with the exact
 weights.  NEW capability beyond the reference (no dynamics at all)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import scipy.linalg
@@ -50,6 +51,7 @@ def _state_vector(wf, params, states):
     return psi / np.linalg.norm(psi)
 
 
+@pytest.mark.slow
 def test_quench_matches_first_order_multiplication():
     """The tangent-space quench on a complete manifold IS (1 + eps O) to
     first order: fidelity with the dense (1 + eps O)|0> state is
@@ -136,6 +138,7 @@ def test_spectral_peak_at_excitation_energy():
         peak_height, expected)
 
 
+@pytest.mark.slow
 def test_sampled_linear_response_runs():
     """MC path smoke + consistency: sampled C(t) tracks the dense answer
     within MC noise on a short window."""
@@ -168,6 +171,7 @@ def test_sampled_linear_response_runs():
     assert np.max(np.abs(corr - want)) < 0.2 * np.abs(want).max() + 0.05
 
 
+@pytest.mark.slow
 def test_cli_evolve_linear_response(tmp_path, capsys):
     """`cgs evolve --linear_response` end-to-end on a tiny complex
     ansatz: writes (t, C(t)) + S(q, omega) and prints the peak."""

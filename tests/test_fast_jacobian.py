@@ -65,6 +65,7 @@ def test_base_conv_rows_match():
                   num_conv_filters=8, kernel_size=3, symmetrize=False))
 
 
+@pytest.mark.slow
 def test_symmetrized_rows_match():
     # C4v x spin flip: the 16-element flagship orbit at 4x4.
     _check(Config(num_sites=16, size_x=4, size_y=4,
@@ -72,6 +73,7 @@ def test_symmetrized_rows_match():
                   num_conv_filters=8, kernel_size=3, symmetrize=True))
 
 
+@pytest.mark.slow
 def test_even_kernel_pad_asymmetry():
     # Even kernels pad asymmetrically (nn._periodic_pad_2d); the im2col
     # path reuses the same helper, so rows must still agree.
@@ -80,6 +82,7 @@ def test_even_kernel_pad_asymmetry():
                   num_conv_filters=6, kernel_size=2, symmetrize=True))
 
 
+@pytest.mark.slow
 def test_rectangular_lattice_and_selu():
     _check(Config(num_sites=12, size_x=4, size_y=3,
                   wavefunction_type='conv_2d', num_conv_layers=2,
@@ -108,6 +111,7 @@ def test_unsupported_returns_none():
 
 @pytest.mark.parametrize('symmetrize,solver', [
     (False, 'dense'), (True, 'dense'), (True, 'sample_cg')])
+@pytest.mark.slow
 def test_sr_epoch_equivalent(symmetrize, solver):
     """One SR epoch with the fast path == with vmap(grad), for both the
     dense Cholesky solver and the sharded-Jacobian sample_cg solver."""
@@ -139,6 +143,7 @@ def test_sr_epoch_equivalent(symmetrize, solver):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_deep_seven_layer_rows_match():
     # The 12x12 deep recipe's shape class (7 conv layers, symmetrized,
     # sample_cg) at test size: rows must match vmap(grad) and the chunked
@@ -150,6 +155,7 @@ def test_deep_seven_layer_rows_match():
     _check(cfg, batch=20, chunk=0)
 
 
+@pytest.mark.slow
 def test_pixelcnn_rows_match():
     # Masked-conv autoregressive family: zero-pad im2col + the
     # sector-projected chain-rule head.
@@ -160,6 +166,7 @@ def test_pixelcnn_rows_match():
     _check(cfg, batch=20, chunk=8)
 
 
+@pytest.mark.slow
 def test_pixelcnn_sr_epoch_equivalent():
     """One dense-SR epoch on the AR ansatz: fast rows == vmap(grad)."""
     base = dict(num_sites=16, size_x=4, size_y=4,
@@ -188,6 +195,7 @@ def test_pixelcnn_sr_epoch_equivalent():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_conv1d_rows_match():
     _check(Config(num_sites=12, wavefunction_type='conv_1d',
                   num_conv_layers=3, num_conv_filters=6, kernel_size=3))
@@ -207,6 +215,7 @@ def test_resnet1d_rows_match():
            kink_frac=0.005)
 
 
+@pytest.mark.slow
 def test_resnet1d_bottleneck_rows_match():
     _check(Config(num_sites=12, wavefunction_type='res_net_1d',
                   num_resnet_blocks=2, num_conv_filters=6, kernel_size=3,
@@ -220,6 +229,7 @@ def test_resnet2d_symmetrized_rows_match():
            batch=20, chunk=8, kink_frac=0.005)
 
 
+@pytest.mark.slow
 def test_resnet2d_bottleneck_rows_match():
     _check(Config(num_sites=16, size_x=4, size_y=4,
                   wavefunction_type='res_net_2d', num_resnet_blocks=2,

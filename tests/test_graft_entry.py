@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -26,6 +28,7 @@ def _run_in_env(extra_env, n_devices=8):
         env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=600)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_dirty_platform_env():
     # A bogus platform name: jax backend init would fail outright unless
     # the entry re-launches itself sanitized.
@@ -39,6 +42,7 @@ def test_dryrun_multichip_dirty_platform_env():
     assert 'OK' in result.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_single_device_ambient():
     # Ambient env exposes only 1 CPU device; the dry run must still build
     # an 8-device mesh via its own forced host-platform device count.

@@ -171,6 +171,7 @@ def test_triangular_local_energy_matches_dense_matrix():
     np.testing.assert_allclose(e_loc, expected, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_triangular_complex_sr_descends():
     """Geometric frustration end-to-end: complex fc x fc + dense SR on the
     4x3 triangular AFM torus learns a nontrivial sign structure.  No

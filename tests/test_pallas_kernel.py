@@ -183,6 +183,7 @@ def test_kernel_samples_born_distribution():
     assert tv < 0.08, f'TV distance {tv} too large'
 
 
+@pytest.mark.slow
 def test_groups_interleaving_is_trajectory_invariant():
     """groups=2/4 (the ILP latency knob) must produce bitwise the same
     trajectories as groups=1 — the groups share no data."""
