@@ -54,6 +54,16 @@ np.save(OUT, configs)
 print(f'wrote {configs.shape} -> {OUT}; acceptance '
       f'{float(metropolis.acceptance_rate(smp)):.3f}')
 
+# Dump-time log|psi| over the set: the CI test recomputes these (drift
+# detector — importance weights must be exactly 1 on the committed
+# artifact) and reweights E_loc if the amplitudes moved.  NOTE: the
+# committed reference is recomputed ON CPU afterwards (the CI platform);
+# TPU f32 conv stacks differ from CPU by ~1e-2 in log-amplitude, far
+# above the same-platform drift tolerance.
+logs = np.asarray(wf.apply(params, jnp.asarray(configs, jnp.float32)).log,
+                  np.float64)
+np.save(OUT.replace('samples', 'logpsi'), logs)
+
 # Reference value over the dumped set (recorded into the CI test).
 ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6), -1.0, 1.0,
                             sample_chunk=64)
