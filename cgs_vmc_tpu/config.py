@@ -67,6 +67,12 @@ class Config:
     # GraphConvNetwork parameters.
     adjacency_list_path: str = ''
 
+    # SpinTransformer parameters (wavefunction_type='transformer';
+    # ansatz family beyond the reference, models/attention.py).
+    num_attention_layers: int = 2
+    attention_dim: int = 32
+    num_attention_heads: int = 4
+
     nonlinearity: str = 'relu'
     output_activation: str = 'exp'
     # Symmetry projection (new vs reference): average the ansatz over the

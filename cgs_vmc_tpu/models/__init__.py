@@ -40,6 +40,7 @@ from cgs_vmc_tpu.models.complex_phase import ComplexPhaseWavefunction
 from cgs_vmc_tpu.models.jastrow import JastrowWavefunction
 from cgs_vmc_tpu.models.autoregressive import AutoregressiveSpinModel
 from cgs_vmc_tpu.models.pixelcnn import MaskedConv2DAutoregressive
+from cgs_vmc_tpu.models.attention import SpinTransformer
 
 
 COMPOSITE_TYPES = ('sum', 'diff', 'prod', 'complex')
@@ -95,5 +96,5 @@ __all__ = [
     'MatrixProductState', 'ProjectedBDG', 'FullyConnectedNNB',
     'FullVector', 'GraphConvNetwork', 'ComplexPhaseWavefunction',
     'JastrowWavefunction', 'AutoregressiveSpinModel',
-    'MaskedConv2DAutoregressive',
+    'MaskedConv2DAutoregressive', 'SpinTransformer',
 ]
