@@ -86,6 +86,27 @@ def test_structure_factor_sum_rule_and_ed():
     assert abs(result.mean - exact) < 5 * max(result.error, 1e-4)
 
 
+def test_structure_factor_pipi_staggered_identity_2d():
+    """S(q=(π,π)) on the square lattice = N·(m_s^z)² config-by-config —
+    the identity examples/staggered_flagship.py's m_s extraction rests on
+    (cos(π(x+y)) is the checkerboard sign; the sin term vanishes)."""
+    L = 4
+    n = L * L
+    pos = square_positions(L, L)
+    sub = lattice.marshall_sublattice(n, L, L)
+    # Random Sz=0 configurations via the standard initializer.
+    from cgs_vmc_tpu.sampler import metropolis
+    from cgs_vmc_tpu.models.feedforward import RestrictedBoltzmannNetwork
+    wf = RestrictedBoltzmannNetwork(n, 1, 4)
+    states = metropolis.init_sampler(
+        jax.random.key(3), wf, wf.init(jax.random.key(4)), n, 64).configs
+
+    sq = SpinStructureFactor([np.pi, np.pi], pos)
+    got = np.asarray(sq.local_value(None, None, states))
+    m_sz = np.asarray(states) @ (0.5 * sub) / n     # per-config m_s^z
+    np.testing.assert_allclose(got, n * m_sz ** 2, rtol=1e-5, atol=1e-6)
+
+
 def test_transverse_correlation_su2_identity():
     """Isotropic Heisenberg ground state: ⟨SˣSˣ+SʸSʸ⟩ = 2⟨SᶻSᶻ⟩ by SU(2)
     symmetry — checks the off-diagonal (exchange) local value exactly."""
