@@ -27,9 +27,11 @@ from cgs_vmc_tpu.evaluate import evaluate_operator
 
 path = sys.argv[1] if len(sys.argv) > 1 else \
     'artifacts/heisenberg_6x6_symconv_v2.msgpack'
+layers = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+filters = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 cfg = Config(num_sites=36, size_x=6, size_y=6,
-             wavefunction_type='conv_2d', num_conv_layers=5,
-             num_conv_filters=32, kernel_size=3, symmetrize=True,
+             wavefunction_type='conv_2d', num_conv_layers=layers,
+             num_conv_filters=filters, kernel_size=3, symmetrize=True,
              heisenberg_jx=-1.0,
              batch_size=256, num_equilibration_sweeps=30,
              num_monte_carlo_sweeps=2, num_evaluation_samples=100,
