@@ -51,6 +51,14 @@ CASES = [
     ('heisenberg_10x10_symconv_v3',
      Config(num_conv_layers=5, num_conv_filters=32, **_COMMON_10),
      (10, 10), 8, -0.655397, 0.008),
+    ('heisenberg_10x10_deep32_cont',
+     Config(num_conv_layers=7, num_conv_filters=32, **_COMMON_10),
+     (10, 10), 8, -0.660801, 0.008),
+    ('heisenberg_12x12_symconv',
+     Config(num_sites=144, size_x=12, size_y=12,
+            wavefunction_type='conv_2d', kernel_size=3, symmetrize=True,
+            heisenberg_jx=-1.0, num_conv_layers=5, num_conv_filters=32),
+     (12, 12), 6, -0.663586, 0.010),
 ]
 
 
