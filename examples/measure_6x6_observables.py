@@ -82,7 +82,13 @@ perp = measure(TransverseCorrelation(y_pairs(1), sample_chunk=64),
 print(f'{"  -> physical (x -1, Marshall)":34s} {-perp:+.5f}   '
       f'[SU(2) check: 2*SzSz = {2 * zz1:+.5f}]')
 
-s2, err = evaluate_renyi2(wf, params, list(range(6)), cfg,
-                          key=jax.random.key(30))
-print(f'{"Renyi-2 S2(first row, 6 sites)":34s} {s2:+.4f} +/- {err:.4f}',
-      flush=True)
+# Area-law scan: strips of 1, 2, 3 rows (site = x*6 + y, so rows 0..w-1
+# are sites [0, 6w)).  On the torus every strip cut has the same
+# boundary LENGTH (two 6-site cuts); S2 should grow sub-linearly in
+# strip width and saturate near the half cut — the area law with
+# additive corrections, not a volume law.
+for w in (1, 2, 3):
+    s2, err = evaluate_renyi2(wf, params, list(range(6 * w)), cfg,
+                              key=jax.random.key(30 + w))
+    print(f'{f"Renyi-2 S2(strip {w}x6, {6*w} sites)":34s} '
+          f'{s2:+.4f} +/- {err:.4f}', flush=True)
