@@ -33,6 +33,7 @@ extra records spreads + a trivial-dispatch latency probe taken before
 and after, so a reader can attribute any residual gap.
 """
 
+import fcntl
 import json
 import os
 import time
@@ -311,7 +312,26 @@ def _measure_interleaved(sweep_rep, percall_rep, fused_rep):
     return sweep_t, percall_t, fused_t
 
 
+def _acquire_tpu_lock(max_wait_s=1200):
+    """Serialize against queued measurement jobs (examples/run_r4_queue*.sh
+    hold /tmp/cgs_tpu.lock around every TPU invocation).  Two TPU jobs on
+    one chip corrupt each other's timings — the round-3 graded-vs-docs
+    failure mode.  Waits up to max_wait_s, then proceeds anyway (the
+    primary metric must still print) with the contention recorded."""
+    f = open('/tmp/cgs_tpu.lock', 'w')
+    t0 = time.time()
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return f, round(time.time() - t0, 1), True
+        except OSError:
+            if time.time() - t0 > max_wait_s:
+                return f, round(time.time() - t0, 1), False
+            time.sleep(10)
+
+
 def main():
+    lock_file, lock_wait_s, lock_held = _acquire_tpu_lock()
     dispatch_before = _dispatch_latency_ms()
     sweep_rep, sweep_finalize = prepare_rbm_kernel()
     epoch_error = None
@@ -324,9 +344,21 @@ def main():
     # Measurement passes: re-run when any rep spread exceeds the
     # threshold (ambient relay load), keep the lowest-max-spread pass.
     passes = []
-    for _ in range(MAX_PASSES):
-        sweep_t, percall_t, fused_t = _measure_interleaved(
-            sweep_rep, percall_rep, fused_rep)
+    attempts = 0
+    while len(passes) < MAX_PASSES and attempts < MAX_PASSES + 2:
+        attempts += 1
+        try:
+            sweep_t, percall_t, fused_t = _measure_interleaved(
+                sweep_rep, percall_rep, fused_rep)
+        except Exception as err:
+            if percall_rep is None:
+                raise  # the primary sweep kernel itself is broken
+            # A measured-epoch rep failed (transient transport error or a
+            # non-finite energy): demote the epoch metrics so the primary
+            # sweep metric still prints, as the prepare-phase guard does.
+            percall_rep = fused_rep = None
+            epoch_error = f'{type(err).__name__}: {err}'[:200]
+            continue
         spreads = [_spread(sweep_t)]
         if percall_t:
             spreads += [_spread(percall_t), _spread(fused_t)]
@@ -356,6 +388,8 @@ def main():
         'dispatch_latency_ms_after': dispatch_after,
         'sweep_spread': round(_spread(sweep_t), 3),
         'measurement_passes': len(passes),
+        'tpu_lock_wait_s': lock_wait_s,
+        'tpu_lock_held': lock_held,
     }
     extra.update(sweep_finalize())
     if percall_t:
@@ -365,13 +399,13 @@ def main():
         best_percall = sorted(percall_t)[len(percall_t) // 2]
         fused = sorted(fused_t)[len(fused_t) // 2]
         extra.update(epoch_finalize(best_percall, fused))
-    elif epoch_error:
+    if epoch_error:  # recorded even when an earlier pass kept epoch data
         extra['sr_epoch_error'] = epoch_error
     transport_health['degraded'] = bool(
         max(s for s in [transport_health['sweep_spread'],
                         transport_health.get('epoch_percall_spread', 0.0),
                         transport_health.get('epoch_fused_spread', 0.0)])
-        > SPREAD_THRESHOLD)
+        > SPREAD_THRESHOLD) or not lock_held
     extra['transport_health'] = transport_health
     try:
         extra.update(bench_made_exact_sampling())

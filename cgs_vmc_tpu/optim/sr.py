@@ -162,8 +162,49 @@ class StochasticReconfiguration:
             params, all_configs, amp, e_loc, state, axis_name)
         e_solver_mean = common.pmean(jnp.mean(e_solver), axis_name)
 
+        params, opt_state, residual_norm, grad_e = self.update_from_samples(
+            params, state.opt_state, state.epoch, all_configs, e_solver,
+            e_solver_mean, axis_name)
+
+        metrics = {
+            'energy': jnp.real(e_mean),
+            'energy_variance': e2_mean - jnp.abs(e_mean) ** 2,
+            'acceptance_rate': common.pmean(
+                metropolis.acceptance_rate(sampler), axis_name),
+            'grad_norm': common.grad_global_norm(grad_e),
+            'sr_residual_norm': residual_norm,
+            **extra_metrics,
+        }
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            sampler=sampler,
+            epoch=state.epoch + 1,
+            extra=extra_state,
+        )
+        return new_state, metrics
+
+    def update_from_samples(self, params, opt_state, epoch, all_configs,
+                            e_solver, e_solver_mean=None,
+                            axis_name: Optional[str] = None):
+        """Solve + gate + apply one SR step from a pre-sampled batch.
+
+        The tail of `epoch` — solver dispatch, non-finite fallback to the
+        raw gradient, residual-based rejection, trust-region clip, and the
+        optax update — as a public method, so split-program drivers that
+        own their sampling loop (examples/heisenberg_12x12_deep.py,
+        examples/heisenberg_6x6_transformer.py) reuse the exact gating
+        logic instead of re-implementing it around the private solvers.
+
+        Returns (new_params, new_opt_state, residual_norm, grad_e).
+        """
+        cfg = self.config
+        if e_solver_mean is None:
+            e_solver_mean = common.pmean(jnp.mean(e_solver), axis_name)
+        m_local = all_configs.shape[0]
+
         def log_fn(p):
-            return wf.apply(p, all_configs).log
+            return self.wf.apply(p, all_configs).log
 
         solver = cfg.sr_solver
         if solver in ('dense', 'dense_cg'):
@@ -198,25 +239,8 @@ class StochasticReconfiguration:
         delta = jax.tree.map(lambda d: d * clip, delta)
 
         params, opt_state = self.optax_opt.update(
-            delta, state.opt_state, params, state.epoch)
-
-        metrics = {
-            'energy': jnp.real(e_mean),
-            'energy_variance': e2_mean - jnp.abs(e_mean) ** 2,
-            'acceptance_rate': common.pmean(
-                metropolis.acceptance_rate(sampler), axis_name),
-            'grad_norm': common.grad_global_norm(grad_e),
-            'sr_residual_norm': residual_norm,
-            **extra_metrics,
-        }
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            sampler=sampler,
-            epoch=state.epoch + 1,
-            extra=extra_state,
-        )
-        return new_state, metrics
+            delta, opt_state, params, epoch)
+        return params, opt_state, residual_norm, grad_e
 
     def _solver_residual(self, params, all_configs, amp, e_loc, state,
                          axis_name):

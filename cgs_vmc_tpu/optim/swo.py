@@ -527,14 +527,17 @@ class BasisIterationSWO(_SWOBase):
 
     def init_state(self, key: jax.Array, target_params: Params,
                    n_local_chains: Optional[int] = None) -> TrainState:
-        del n_local_chains  # no MCMC chains in this optimizer
         k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
         # A dummy sampler keeps TrainState uniform across optimizers; it is
-        # sized to the device count so shard_train_state can split it over
-        # any chains mesh (its contents are never read by this optimizer).
+        # sized like every other optimizer's (n_local_chains, defaulting to
+        # config.batch_size) so checkpoints restore in any environment —
+        # sizing it to jax.device_count() made the TrainState template
+        # depend on the host's device count, breaking cross-host restore.
+        # Its contents are never read by this optimizer; batch_size chains
+        # shard over any mesh under the same divisibility rule as MCMC runs.
         sampler = metropolis.init_sampler_for(
-            k2, self.wf, params, self.config, jax.device_count())
+            k2, self.wf, params, self.config, n_local_chains)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),

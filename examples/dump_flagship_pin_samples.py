@@ -9,8 +9,14 @@ the headline claim is pinned to ~1e-3 on CPU without MCMC at test time.
 
 Run once (TPU, ~1 min): PYTHONPATH=/root/repo:/root/.axon_site \
     python examples/dump_flagship_pin_samples.py
+The logpsi drift reference is then recomputed automatically in a
+sanitized clean-CPU subprocess (the platform pytest runs on — TPU or
+ambient-sitecustomize CPU log-amplitudes differ from clean CPU by
+~1e-2 on deep conv stacks, far above the pin test's 1e-3 tolerance).
 """
 import os
+import subprocess
+import sys
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import numpy as np
 import jax
@@ -54,15 +60,35 @@ np.save(OUT, configs)
 print(f'wrote {configs.shape} -> {OUT}; acceptance '
       f'{float(metropolis.acceptance_rate(smp)):.3f}')
 
-# Dump-time log|psi| over the set: the CI test recomputes these (drift
-# detector — importance weights must be exactly 1 on the committed
-# artifact) and reweights E_loc if the amplitudes moved.  NOTE: the
-# committed reference is recomputed ON CPU afterwards (the CI platform);
-# TPU f32 conv stacks differ from CPU by ~1e-2 in log-amplitude, far
-# above the same-platform drift tolerance.
-logs = np.asarray(wf.apply(params, jnp.asarray(configs, jnp.float32)).log,
-                  np.float64)
-np.save(OUT.replace('samples', 'logpsi'), logs)
+# log|psi| drift reference over the set: the CI test recomputes these
+# (importance weights must be exactly 1 on the committed artifact) and
+# reweights E_loc if the amplitudes moved.  It MUST be computed on
+# clean CPU — the CI platform — so the recompute is delegated to a
+# sanitized subprocess (env -i: no axon sitecustomize, JAX_PLATFORMS=cpu).
+LOGPSI_OUT = OUT.replace('samples', 'logpsi')
+recompute = f'''
+import sys
+sys.path.insert(0, {os.getcwd()!r})
+import numpy as np, jax, jax.numpy as jnp
+from flax import serialization
+from cgs_vmc_tpu.config import Config
+from cgs_vmc_tpu.models import build_wavefunction
+cfg = Config(num_sites={N}, size_x=6, size_y=6,
+             wavefunction_type='conv_2d', num_conv_layers=7,
+             num_conv_filters=48, kernel_size=3, symmetrize=True,
+             heisenberg_jx=-1.0)
+wf = build_wavefunction(cfg)
+params = serialization.from_bytes(wf.init(jax.random.key(0)),
+                                  open({ARTIFACT!r}, 'rb').read())
+configs = jnp.asarray(np.load({OUT!r}), jnp.float32)
+logs = np.asarray(wf.apply(params, configs).log, np.float64)
+np.save({LOGPSI_OUT!r}, logs)
+print('logpsi reference (clean CPU):', logs[:3])
+'''
+subprocess.run(
+    ['env', '-i', 'HOME=/root', 'PATH=/opt/venv/bin:/usr/bin:/bin',
+     'JAX_PLATFORMS=cpu', sys.executable, '-c', recompute],
+    check=True)
 
 # Reference value over the dumped set (recorded into the CI test).
 ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6), -1.0, 1.0,

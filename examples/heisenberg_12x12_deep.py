@@ -22,7 +22,7 @@ from cgs_vmc_tpu import lattice
 from cgs_vmc_tpu.config import Config
 from cgs_vmc_tpu.models import build_wavefunction
 from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
-from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS, common
+from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
 from cgs_vmc_tpu.sampler import metropolis
 
 OUT = 'artifacts/heisenberg_12x12_deep32.msgpack'
@@ -72,21 +72,8 @@ def local_energy(p, configs):
 
 @jax.jit
 def sr_update(p, o, epoch, all_configs, e_loc):
-    e_mean = jnp.mean(e_loc)
-    delta, grad_e, res = opt._sample_cg_solve(all_configs, p, e_loc,
-                                              e_mean, None)
-    finite = jnp.all(jnp.asarray(
-        [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(delta)]))
-    delta = jax.tree.map(lambda d, g: jnp.where(finite, d, g), delta, grad_e)
-    ok = jnp.logical_or(jnp.logical_not(finite),
-                        res < cfg.sr_reject_residual *
-                        (common.grad_global_norm(grad_e) + 1e-12))
-    delta = jax.tree.map(lambda d: jnp.where(ok, d, jnp.zeros_like(d)),
-                         delta)
-    norm = common.grad_global_norm(delta)
-    clip = jnp.minimum(1.0, cfg.sr_delta_clip / (norm + 1e-12))
-    delta = jax.tree.map(lambda d: d * clip, delta)
-    new_p, new_o = opt.optax_opt.update(delta, o, p, epoch)
+    new_p, new_o, res, _ = opt.update_from_samples(
+        p, o, epoch, all_configs, e_loc)
     return new_p, new_o, res
 
 E_REF = -0.670685 * N

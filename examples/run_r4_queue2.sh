@@ -12,7 +12,7 @@ until grep -q 'QUEUE COMPLETE' logs/r4_queue.log 2>/dev/null; do
 done
 
 stamp "staggered magnetization, three flagship artifacts"
-timeout 5400 python examples/staggered_flagship.py \
+flock /tmp/cgs_tpu.lock timeout 5400 python examples/staggered_flagship.py \
     > logs/staggered_flagship.log 2>&1
 stamp "staggered rc=$?"
 stamp "QUEUE2 COMPLETE"

@@ -12,12 +12,12 @@ until grep -q 'QUEUE2 COMPLETE' logs/r4_queue2.log 2>/dev/null; do
 done
 
 stamp "6x6 transformer flagship-lattice run"
-timeout 7200 python examples/heisenberg_6x6_transformer.py \
+flock /tmp/cgs_tpu.lock timeout 7200 python examples/heisenberg_6x6_transformer.py \
     > logs/transformer_6x6.log 2>&1
 stamp "transformer rc=$?"
 
 stamp "sampler-path throughput table (bench_samplers)"
-timeout 3600 python examples/bench_samplers.py \
+flock /tmp/cgs_tpu.lock timeout 3600 python examples/bench_samplers.py \
     > logs/bench_samplers_r4.log 2>&1
 stamp "bench_samplers rc=$?"
 stamp "QUEUE3 COMPLETE"

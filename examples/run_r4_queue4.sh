@@ -12,7 +12,7 @@ until grep -q 'QUEUE3 COMPLETE' logs/r4_queue3.log 2>/dev/null; do
 done
 
 stamp "observable suite on the deep 6x6 artifact (incl. Renyi-2)"
-timeout 3600 python examples/measure_6x6_observables.py \
+flock /tmp/cgs_tpu.lock timeout 3600 python examples/measure_6x6_observables.py \
     artifacts/heisenberg_6x6_deep48.msgpack 7 48 \
     > logs/observables_6x6_deep.log 2>&1
 stamp "observables rc=$?"

@@ -11,22 +11,18 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cgs_vmc_tpu import lattice
+from cgs_vmc_tpu import basis, lattice
 from cgs_vmc_tpu.config import Config
 from cgs_vmc_tpu.models import build_wavefunction
 from cgs_vmc_tpu.models.attention import SpinTransformer, _layernorm
 from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
 from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
-from cgs_vmc_tpu.sampler import metropolis
 
 N = 8
 
 
 def _configs(key, batch, n=N):
-    return metropolis.init_sampler(
-        key, SpinTransformer(n, 1, 8, 2),
-        SpinTransformer(n, 1, 8, 2).init(jax.random.key(0)), n,
-        batch).configs
+    return basis.random_configurations(key, n, batch)
 
 
 def test_registry_apply_shapes_and_sign():
