@@ -247,3 +247,65 @@ def test_jacobian_chunking_non_divisible_batch():
                     jax.tree.leaves(delta_chunked)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_update_from_samples_matches_epoch():
+    """Split-program contract: replaying epoch()'s sampling schedule by
+    hand and feeding the batch to the public update_from_samples()
+    reproduces epoch()'s parameter update bit-for-bit — the guarantee
+    the flagship driver scripts (examples/heisenberg_12x12_deep.py,
+    examples/heisenberg_6x6_transformer.py) rely on."""
+    from jax import lax
+    from cgs_vmc_tpu.sampler import metropolis
+
+    config, wf, opt = _setup('dense')
+    state = opt.init_state(jax.random.key(20))
+    new_state, metrics = jax.jit(opt.epoch)(state)
+
+    # Replay the identical sampling schedule (epoch's collect scan).
+    params = state.params
+    smp = metropolis.reset_stats(state.sampler)
+    smp = metropolis.refresh_amplitudes(wf, params, smp)
+    smp = opt.sweeps(params, smp, config.num_equilibration_sweeps)
+
+    def collect(s, _):
+        configs = s.configs
+        s = opt.sweeps(params, s, config.num_monte_carlo_sweeps)
+        return s, configs
+
+    smp, batches = lax.scan(collect, smp, None,
+                            length=config.num_batches_per_epoch)
+    all_configs = batches.reshape(-1, N)
+    e_loc = opt.hamiltonian.local_value(wf, params, all_configs)
+
+    got_params, _, res, grad_e = jax.jit(opt.update_from_samples)(
+        params, state.opt_state, state.epoch, all_configs, e_loc)
+
+    np.testing.assert_allclose(float(jnp.mean(e_loc)),
+                               float(metrics['energy']), rtol=1e-6)
+    # Residuals are at solver-noise scale (~1e-5); the two differently
+    # fused programs agree only to absolute tolerance there.
+    np.testing.assert_allclose(float(res),
+                               float(metrics['sr_residual_norm']),
+                               atol=1e-4)
+    for a, b in zip(jax.tree.leaves(got_params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_update_from_samples_rejects_on_residual_gate():
+    """With an impossibly tight sr_reject_residual the natural-gradient
+    update must be zeroed: params come back unchanged (the gating the
+    examples previously re-implemented by hand, now in one place)."""
+    config, wf, opt = _setup('dense')
+    opt.config = config.replace(sr_reject_residual=1e-30)
+    params = wf.init(jax.random.key(21))
+    configs = basis.random_configurations(jax.random.key(22), N, 64)
+    e_loc = opt.hamiltonian.local_value(wf, params, configs)
+    got_params, _, res, _ = opt.update_from_samples(
+        params, opt.optax_opt.init(params), jnp.zeros((), jnp.int32),
+        configs, e_loc)
+    assert float(res) > 1e-30 * 1e-12  # the gate actually fired
+    for a, b in zip(jax.tree.leaves(got_params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
