@@ -20,15 +20,27 @@ LOCK=/tmp/cgs_tpu.lock
 stamp() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
 # ---- stage 0: babysit the 12x12 deep run to epoch 1400 -------------
+# Restarts on process death AND on stall (relay hangs can block a client
+# indefinitely without killing it: log silent >30 min while the process
+# sleeps — observed 18:24 this round, 36 min frozen at epoch 1150).
+STALL_S=1800
 while true; do
   pid=$(cat /tmp/h12.pid 2>/dev/null || echo 0)
   # pid 0 would signal our own process group and always "succeed"
-  while [ "$pid" -gt 0 ] && kill -0 "$pid" 2>/dev/null; do sleep 60; done
+  while [ "$pid" -gt 0 ] && kill -0 "$pid" 2>/dev/null; do
+    age=$(( $(date +%s) - $(stat -c %Y "$H12LOG") ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      stamp "12x12 deep stalled ${age}s (relay hang?); killing $pid"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      break
+    fi
+    sleep 60
+  done
   grep -q 'DONE @ epoch' "$H12LOG" && { stamp "12x12 deep: DONE"; break; }
   last=$(grep -oP 'saved .* @ epoch \K[0-9]+' "$H12LOG" | tail -1)
   [ -z "$last" ] && last=0
   if [ "$last" -ge 1400 ]; then stamp "12x12 deep: at end"; break; fi
-  stamp "12x12 deep died at epoch ~$last; resuming"
+  stamp "12x12 deep died/stalled at epoch ~$last; resuming"
   nohup flock "$LOCK" python examples/heisenberg_12x12_deep.py \
       --resume "$last" >> "$H12LOG" 2>&1 &
   echo $! > /tmp/h12.pid
