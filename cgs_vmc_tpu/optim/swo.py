@@ -525,19 +525,24 @@ class BasisIterationSWO(_SWOBase):
         # jnp.take so the table lowers as a host constant.
         self.basis = np.asarray(basis_array, np.float32)
 
+    # Dummy-sampler width: a fixed power of two so (a) TrainState
+    # checkpoint templates are environment-independent — sizing to
+    # jax.device_count() made a checkpoint saved on an 8-device host
+    # unrestorable on a 1-device host — and (b) it shards over any
+    # realistic chains mesh (whose size divides 256), unlike
+    # config.batch_size, which for this optimizer is the basis-iteration
+    # batch and need not be mesh-divisible.
+    _DUMMY_CHAINS = 256
+
     def init_state(self, key: jax.Array, target_params: Params,
                    n_local_chains: Optional[int] = None) -> TrainState:
+        del n_local_chains  # no MCMC chains in this optimizer
         k1, k2, k3 = jax.random.split(key, 3)
         params = self.wf.init(k1)
-        # A dummy sampler keeps TrainState uniform across optimizers; it is
-        # sized like every other optimizer's (n_local_chains, defaulting to
-        # config.batch_size) so checkpoints restore in any environment —
-        # sizing it to jax.device_count() made the TrainState template
-        # depend on the host's device count, breaking cross-host restore.
-        # Its contents are never read by this optimizer; batch_size chains
-        # shard over any mesh under the same divisibility rule as MCMC runs.
+        # A dummy sampler keeps TrainState uniform across optimizers; its
+        # contents are never read by this optimizer.
         sampler = metropolis.init_sampler_for(
-            k2, self.wf, params, self.config, n_local_chains)
+            k2, self.wf, params, self.config, self._DUMMY_CHAINS)
         return TrainState(
             params=params,
             opt_state=self.optax_opt.init(params),

@@ -216,3 +216,65 @@ def test_basis_iter_devices_iterate_disjoint_batches():
         losses.append(float(metrics['loss']))
     assert np.isfinite(losses[-1])
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sharded_transformer_update_matches_single_device():
+    """The newest ansatz family (models/attention.py) under the chains
+    mesh: a sharded SR update over a FIXED sample batch reproduces the
+    single-device update.  Fixed batch (not a full epoch): the deep
+    attention forward is not bit-identical across shard widths, so a
+    single flipped Metropolis accept would make epoch-vs-epoch compare
+    trajectories, not sharding — the per-chain sampling contract is
+    covered family-independently by test_sharded_gradient/* above."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from cgs_vmc_tpu import basis
+
+    n_dev = 4
+    config = Config(
+        num_sites=N, wavefunction_type='transformer',
+        num_attention_layers=1, attention_dim=8, num_attention_heads=2,
+        batch_size=4 * n_dev, num_batches_per_epoch=2,
+        heisenberg_jx=JX, sr_solver='dense', sr_diag_shift=1e-2,
+        seed=23)
+    wf = build_wavefunction(config)
+    ham = HeisenbergHamiltonian(lattice.chain_bonds(N), JX, 1.0)
+    opt = StochasticReconfiguration(wf, ham, config)
+    params = wf.init(jax.random.key(3))
+    opt_state = opt.optax_opt.init(params)
+    epoch0 = jnp.zeros((), jnp.int32)
+    configs = basis.random_configurations(jax.random.key(4), N, 32)
+    e_loc = ham.local_value(wf, params, configs)
+
+    p_single, _, res_single, _ = jax.jit(opt.update_from_samples)(
+        params, opt_state, epoch0, configs, e_loc)
+
+    device_mesh = mesh_lib.make_mesh(n_dev)
+    param_specs = jax.tree.map(lambda _: P(), params)
+    opt_specs = jax.tree.map(lambda _: P(), opt_state)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(param_specs, opt_specs,
+                       P(mesh_lib.CHAINS_AXIS), P(mesh_lib.CHAINS_AXIS)),
+             out_specs=param_specs, check_vma=False)
+    def sharded_update(p, o, configs_shard, e_shard):
+        new_p, _, _, _ = opt.update_from_samples(
+            p, o, epoch0, configs_shard, e_shard,
+            axis_name=mesh_lib.CHAINS_AXIS)
+        return new_p
+
+    p_sharded = sharded_update(params, opt_state, configs, e_loc)
+    # Compare the WAVEFUNCTIONS, not raw params: pre-LN attention has
+    # exactly flat parameter directions (a constant added to the key
+    # bias cancels in the softmax), whose minSR components are 0/0
+    # noise that legitimately differs between shard widths.  Centered
+    # log-amplitudes are the gauge-invariant observable.
+    probe = basis.random_configurations(jax.random.key(5), N, 64)
+    log_single = np.asarray(wf.apply(p_single, probe).log, np.float64)
+    log_sharded = np.asarray(wf.apply(p_sharded, probe).log, np.float64)
+    spread = np.abs(log_single - log_single.mean()).max()
+    np.testing.assert_allclose(log_sharded - log_sharded.mean(),
+                               log_single - log_single.mean(),
+                               rtol=0, atol=1e-4 * max(spread, 1.0))
+    assert np.isfinite(float(res_single))
