@@ -129,6 +129,13 @@ class Config:
     # spin-gap measurements.  Must have the parity of num_sites; only
     # meaningful with mc_move_type='exchange'.
     total_sz2: int = 0
+    # Twisted boundary conditions (spin stiffness): total twist angle
+    # accumulated winding the torus once along twist_direction.  Nonzero
+    # phi makes local energies COMPLEX (pair with a sign/phase-capable
+    # ansatz, e.g. wavefunction_type='complex'); rho_s follows from the
+    # E(phi) curvature at 0 (lattice.twist_phases, tests/test_twist.py).
+    twist_phi: float = 0.0
+    twist_direction: str = 'x'
     # Next-nearest-neighbour coupling J2/J1 (frustrated J1-J2 model on the
     # chain or square lattice; 0 = plain nearest-neighbour Heisenberg).
     heisenberg_j2: float = 0.0

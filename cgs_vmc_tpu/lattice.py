@@ -403,3 +403,32 @@ def adjacency_from_bonds(bonds: np.ndarray, num_sites: int) -> np.ndarray:
             row.append(s)
         out[s] = row[:width]
     return out
+
+
+def twist_phases(num_sites: int, bonds: np.ndarray, phi: float,
+                 size_x: int, size_y: int = 1,
+                 direction: str = 'x') -> np.ndarray:
+    """Per-bond gauge phases for a uniform boundary twist of total angle phi.
+
+    Twisted boundary conditions measure the spin stiffness (superfluid
+    density analog): rho_s = L_dir^2/N * d^2(E(phi)/N)/dphi^2 at phi=0.
+    Each bond carries delta_b = phi * d_b / L_dir where d_b is the
+    MINIMAL-IMAGE displacement of the bond along the twist direction —
+    the uniform gauge, so every directed loop winding the torus once
+    accumulates exactly phi (a telescoping raw-coordinate difference
+    would be pure gauge and twist nothing).  Feed the result to
+    ``HeisenbergHamiltonian(twist_phases=...)`` /
+    ``utils.ed.heisenberg_matrix(twist_phases=...)``.
+
+    Site index convention matches square_lattice_bonds: site = x*size_y+y
+    (size_y=1 covers chains).  Works for any bond list over that indexing
+    (nearest-neighbour, J1-J2 diagonals, custom J-files).
+    """
+    bonds = np.asarray(bonds)
+    if direction not in ('x', 'y'):
+        raise ValueError(f"direction must be 'x' or 'y', got {direction!r}")
+    coord = (bonds // size_y) if direction == 'x' else (bonds % size_y)
+    length = size_x if direction == 'x' else size_y
+    d = (coord[:, 1] - coord[:, 0]).astype(np.float64)
+    d -= length * np.round(d / length)          # minimal image
+    return (phi / length) * d

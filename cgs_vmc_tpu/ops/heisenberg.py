@@ -158,7 +158,8 @@ class HeisenbergHamiltonian(LocalOperator):
     def __init__(self, bonds: np.ndarray, j_x: float = 1.0, j_z: float = 1.0,
                  sample_chunk: int = 0,
                  couplings: Optional[np.ndarray] = None,
-                 offdiag_couplings: Optional[np.ndarray] = None):
+                 offdiag_couplings: Optional[np.ndarray] = None,
+                 twist_phases: Optional[np.ndarray] = None):
         """couplings: optional [n_bonds] per-bond factor J_b multiplying
         both the diagonal and off-diagonal matrix elements (J1–J2 and
         arbitrary weighted lattices; the reference's J.txt carried bare
@@ -201,6 +202,15 @@ class HeisenbergHamiltonian(LocalOperator):
         self.couplings = _check(couplings, 'couplings')
         self.offdiag_couplings = _check(offdiag_couplings,
                                         'offdiag_couplings')
+        # Twisted boundary conditions (spin stiffness): per-bond gauge
+        # phase delta_b = theta_i - theta_j.  The exchange term becomes
+        #   J_x/2 (e^{i delta_b} S+_i S-_j + e^{-i delta_b} S-_i S+_j),
+        # so the connected weight picks up exp(i delta_b (s_i - s_j)/2)
+        # and local values are COMPLEX.  E(phi) curvature at phi=0 gives
+        # the spin stiffness rho_s = N/L^2 * d2(E/N)/dphi2 — a standard
+        # superfluid-density-style observable the reference lacks
+        # (lattice.twist_phases builds uniform-gradient phase tables).
+        self.twist_phases = _check(twist_phases, 'twist_phases')
 
     # ------------------------------------------------------------------
 
@@ -237,6 +247,12 @@ class HeisenbergHamiltonian(LocalOperator):
                    if self.offdiag_couplings is not None else self.couplings)
         if offdiag is not None:
             weights = weights * offdiag
+        if self.twist_phases is not None:
+            # <R|H|R_b> for antiparallel (s_i, s_j): the S+_i S-_j term
+            # connects when s_i = +1 (it raises i in R_b), giving
+            # e^{+i delta_b}; the conjugate term when s_i = -1.
+            weights = weights * jnp.exp(
+                0.5j * self.twist_phases * (s_i - s_j))
         return flipped, weights
 
 

@@ -68,10 +68,24 @@ def build_hamiltonian(config: Config):
                     'for pure nearest-neighbour bipartite lattices use '
                     'heisenberg_jx=-1 as the reference did')
             bonds, couplings, offdiag = lattice.j1j2_marshall_gauged(config)
+        twist = None
+        if getattr(config, 'twist_phi', 0.0):
+            # Geometry resolution mirrors bonds_and_couplings_for_config:
+            # square iff size_x*size_y == num_sites with both > 1, else a
+            # chain indexed site = x (size_y = 1).
+            is_square = (config.size_x > 1 and config.size_y > 1 and
+                         config.size_x * config.size_y == config.num_sites)
+            size_x = config.size_x if is_square else config.num_sites
+            size_y = config.size_y if is_square else 1
+            twist = lattice.twist_phases(
+                config.num_sites, bonds, config.twist_phi,
+                size_x=size_x, size_y=size_y,
+                direction=getattr(config, 'twist_direction', 'x'))
         return HeisenbergHamiltonian(
             bonds, config.heisenberg_jx, config.heisenberg_jz,
             sample_chunk=getattr(config, 'energy_chunk_samples', 0),
-            couplings=couplings, offdiag_couplings=offdiag)
+            couplings=couplings, offdiag_couplings=offdiag,
+            twist_phases=twist)
     if family == 'ising':
         if move != 'flip':
             raise ValueError(

@@ -26,6 +26,7 @@ def heisenberg_matrix(
     sparse: bool | None = None,
     couplings: np.ndarray | None = None,
     offdiag_couplings: np.ndarray | None = None,
+    twist_phases: np.ndarray | None = None,
 ):
     """Builds the sector Hamiltonian over `enumerate_sz_basis` ordering.
 
@@ -34,8 +35,14 @@ def heisenberg_matrix(
     HeisenbergHamiltonian(offdiag_couplings=...) for sublattice-gauged
     models (Marshall-gauged J1–J2).
 
+    twist_phases, when given, applies twisted boundary conditions: the
+    exchange on bond b becomes J_x/2 (e^{i d_b} S+_i S-_j + h.c.) with
+    d_b = twist_phases[b] — the ED mirror of
+    HeisenbergHamiltonian(twist_phases=...); the matrix is then complex
+    Hermitian.
+
     Returns a scipy CSR matrix when `sparse` (default for dim > 4096),
-    else a dense float64 array.
+    else a dense float64 (complex128 under twist) array.
     """
     states = basis_lib.enumerate_sz_basis(n_sites, n_down)
     dim = states.shape[0]
@@ -49,6 +56,8 @@ def heisenberg_matrix(
     if offdiag_couplings is None:
         offdiag_couplings = couplings
     offdiag_couplings = np.asarray(offdiag_couplings, np.float64).reshape(-1)
+    if twist_phases is not None:
+        twist_phases = np.asarray(twist_phases, np.float64).reshape(-1)
 
     rows, cols, vals = [], [], []
     diag = np.zeros(dim, dtype=np.float64)
@@ -63,19 +72,25 @@ def heisenberg_matrix(
                 c = index[flipped.tobytes()]
                 rows.append(r)
                 cols.append(c)
-                vals.append(0.5 * j_x * offdiag_couplings[b])
+                val = 0.5 * j_x * offdiag_couplings[b]
+                if twist_phases is not None:
+                    # <r|H|c>: c = r with (i, j) exchanged; the S+_i S-_j
+                    # e^{+i d_b} term connects when r has s_i = +1
+                    # (matches HeisenbergHamiltonian.connected).
+                    val = val * np.exp(0.5j * twist_phases[b] * (si - sj))
+                vals.append(val)
     if sparse:
         import scipy.sparse as sp
         mat = sp.csr_matrix((vals, (rows, cols)), shape=(dim, dim))
         mat = mat + sp.diags(diag)
         return mat
-    mat = np.zeros((dim, dim), dtype=np.float64)
-    mat[rows, cols] = np.asarray(vals)
+    dtype = np.complex128 if twist_phases is not None else np.float64
     # Note: no duplicate (r, c) pairs occur for simple bond lists, but the
     # reference's 1-D chain of n=2 repeats a bond; accumulate to be safe.
+    mat = np.zeros((dim, dim), dtype=dtype)
     if len(rows):
-        mat = np.zeros((dim, dim), dtype=np.float64)
-        np.add.at(mat, (np.asarray(rows), np.asarray(cols)), np.asarray(vals))
+        np.add.at(mat, (np.asarray(rows), np.asarray(cols)),
+                  np.asarray(vals, dtype=dtype))
     mat[np.arange(dim), np.arange(dim)] += diag
     return mat
 
@@ -88,11 +103,13 @@ def ground_state(
     n_down: int | None = None,
     couplings: np.ndarray | None = None,
     offdiag_couplings: np.ndarray | None = None,
+    twist_phases: np.ndarray | None = None,
 ) -> tuple[float, np.ndarray]:
     """Exact ground-state (energy, sector vector)."""
     mat = heisenberg_matrix(n_sites, bonds, j_x, j_z, n_down,
                             couplings=couplings,
-                            offdiag_couplings=offdiag_couplings)
+                            offdiag_couplings=offdiag_couplings,
+                            twist_phases=twist_phases)
     if hasattr(mat, 'toarray') and mat.shape[0] > 4096:
         import scipy.sparse.linalg as spla
         vals, vecs = spla.eigsh(mat, k=1, which='SA')
