@@ -390,3 +390,34 @@ def test_cli_eval_lanczos(tmp_path, capsys):
     e0 = float(out.split('Energy <H>: ')[1].split(' ')[0])
     e_lz = float(out.split('E(alpha*): ')[1].split(' ')[0])
     assert e_lz <= e0 + 1e-9
+
+
+def test_cli_train_and_eval_twisted(tmp_path, capsys):
+    """Twisted boundary conditions through the CLI end to end: complex
+    local energies in training AND evaluation (the evaluator takes the
+    real part — Hermitian H(phi) — so 'Energy:' stays a real number)."""
+    run_dir = str(tmp_path / 'twist_run')
+    rc = cli_main([
+        'train',
+        '--checkpoint_dir', run_dir,
+        '--num_sites', str(N),
+        '--num_epochs', '3',
+        '--wavefunction_type', 'complex',
+        '--optimizer_type', 'SR',
+        '--heisenberg_jx', '-1.0',
+        '--override',
+        'twist_phi=0.5,num_fc_layers=1,fc_layer_size=8,batch_size=32,'
+        'num_batches_per_epoch=2,num_equilibration_sweeps=2,'
+        'sr_solver=dense,sr_diag_shift=0.001,'
+        'composite_wavefunction_types=[fully_connected;fully_connected]',
+    ])
+    assert rc == 0
+
+    rc = cli_main(['eval', '--checkpoint_dir', run_dir,
+                   '--override', 'num_evaluation_samples=10'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'Energy:' in out and '+/-' in out
+    # The persisted config round-trips the twist fields.
+    saved = json.load(open(os.path.join(run_dir, 'config.json')))
+    assert saved['twist_phi'] == 0.5
