@@ -365,7 +365,11 @@ def main():
         passes.append((max(spreads), sweep_t, percall_t, fused_t))
         if max(spreads) <= SPREAD_THRESHOLD:
             break
-    _, sweep_t, percall_t, fused_t = min(passes, key=lambda p: p[0])
+    # Prefer passes that carry epoch data: after a mid-run epoch-rep
+    # failure later passes are sweep-only, and a sweep-only pass must not
+    # displace a complete earlier one however low its spread.
+    complete = [p for p in passes if p[2]] or passes
+    _, sweep_t, percall_t, fused_t = min(complete, key=lambda p: p[0])
     dispatch_after = _dispatch_latency_ms()
 
     sweep_median = sorted(sweep_t)[len(sweep_t) // 2]
@@ -378,8 +382,11 @@ def main():
         'baseline_basis': ('A100 memory-bound incremental CUDA RBM '
                            'sampler, 600 B/move @ 2.0 TB/s '
                            '(BASELINE.md "The A100-class basis")'),
-        # Max-min rep spread in sweeps/s (same key as prior rounds).
-        'sweep_rep_spread': round(
+        # Relative (max-min)/median rep spread — the round-1..3 semantics
+        # (round 4 briefly reported an absolute sweeps/s difference under
+        # this key; the absolute number moved to its own key below).
+        'sweep_rep_spread': round(_spread(sweep_t), 3),
+        'sweep_rep_spread_sweeps_per_sec': round(
             SWEEPS_PER_CALL / min(sweep_t)
             - SWEEPS_PER_CALL / max(sweep_t), 1),
     }
@@ -401,11 +408,20 @@ def main():
         extra.update(epoch_finalize(best_percall, fused))
     if epoch_error:  # recorded even when an earlier pass kept epoch data
         extra['sr_epoch_error'] = epoch_error
-    transport_health['degraded'] = bool(
+    # Two separate flags (round-4 lesson: a long lock wait is chip
+    # CONTENTION, not transport degradation — folding both into one bit
+    # made a clean measurement look bad):
+    # * lock_contended: another TPU job held /tmp/cgs_tpu.lock past the
+    #   patience threshold (or we never got it and measured anyway).
+    # * transport_degraded: the measurement ITSELF shows anomalous
+    #   rep-to-rep spread after all re-passes.
+    transport_health['lock_contended'] = bool(
+        lock_wait_s > 60.0 or not lock_held)
+    transport_health['transport_degraded'] = bool(
         max(s for s in [transport_health['sweep_spread'],
                         transport_health.get('epoch_percall_spread', 0.0),
                         transport_health.get('epoch_fused_spread', 0.0)])
-        > SPREAD_THRESHOLD) or not lock_held
+        > SPREAD_THRESHOLD)
     extra['transport_health'] = transport_health
     try:
         extra.update(bench_made_exact_sampling())

@@ -70,6 +70,26 @@ def build_hamiltonian(config: Config):
             bonds, couplings, offdiag = lattice.j1j2_marshall_gauged(config)
         twist = None
         if getattr(config, 'twist_phi', 0.0):
+            # twist_phases assigns each site the coordinate x = site %
+            # size_x (or site itself on a chain); that map is only valid
+            # for the built-in chain/square indexing.  Honeycomb/kagome/
+            # triangular generators and arbitrary J-files have their own
+            # site orderings, so silently treating them as a chain would
+            # produce unphysical phases — refuse instead.
+            lattice_type = getattr(config, 'lattice_type', '') or ''
+            if lattice_type not in ('', 'auto', 'chain', 'square'):
+                raise ValueError(
+                    f'twist_phi is only supported on the built-in chain/'
+                    f'square geometries (site index = x + size_x*y); got '
+                    f'lattice_type={lattice_type!r}.  Pass explicit '
+                    'twist_phases to HeisenbergHamiltonian for other '
+                    'geometries.')
+            if j_file:
+                raise ValueError(
+                    'twist_phi cannot be combined with j_file_path: the '
+                    'bond file carries no site-coordinate information, '
+                    'so per-bond twist phases cannot be derived.  Build '
+                    'the Hamiltonian directly with explicit twist_phases.')
             # Geometry resolution mirrors bonds_and_couplings_for_config:
             # square iff size_x*size_y == num_sites with both > 1, else a
             # chain indexed site = x (size_y = 1).

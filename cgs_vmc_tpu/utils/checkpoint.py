@@ -124,7 +124,18 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     with open(path, 'rb') as f:
         payload = f.read()
     encoded_template = jax.device_get(_encode_keys(template))
-    restored = serialization.from_bytes(encoded_template, payload)
+    try:
+        restored = serialization.from_bytes(encoded_template, payload)
+    except Exception as err:
+        raise ValueError(
+            f'checkpoint {path!r} does not match the TrainState template '
+            'built from this config — it was saved with a different '
+            'config or framework version.  Known break: BasisIterSWO '
+            'checkpoints saved before the dummy-sampler width change '
+            '(1 -> 256 chains) no longer restore as full TrainStates; '
+            'recover the weights with '
+            'checkpoint.restore_params_from_checkpoint(path, params) '
+            f'instead.  Underlying error: {err}') from err
     return _decode_keys(restored, template)
 
 

@@ -172,3 +172,23 @@ def test_config_builds_twisted_hamiltonian():
 
     assert build_hamiltonian(
         Config(num_sites=N, heisenberg_jx=-1.0)).twist_phases is None
+
+
+def test_twist_refuses_unsupported_geometries(tmp_path):
+    """twist_phi on a non-chain/square geometry or a J-file must raise:
+    twist_phases derives coordinates from the built-in site indexing, so
+    honeycomb/kagome/J-file graphs would silently get unphysical phases
+    (round-4 advisor finding)."""
+    from cgs_vmc_tpu.train import build_hamiltonian
+    import pytest
+
+    with pytest.raises(ValueError, match='twist_phi'):
+        build_hamiltonian(Config(num_sites=8, heisenberg_jx=-1.0,
+                                 lattice_type='honeycomb', size_x=2,
+                                 size_y=2, twist_phi=0.3))
+
+    j_file = tmp_path / 'J.txt'
+    j_file.write_text('0 1\n1 2\n2 0\n')
+    with pytest.raises(ValueError, match='j_file'):
+        build_hamiltonian(Config(num_sites=3, heisenberg_jx=-1.0,
+                                 j_file_path=str(j_file), twist_phi=0.3))
