@@ -25,7 +25,9 @@ from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
 from cgs_vmc_tpu.sampler import metropolis
 from cgs_vmc_tpu.evaluate import binned_error
 
-PATH = 'artifacts/heisenberg_6x6_triplet.msgpack'
+SZ2 = int(os.environ.get('GAP66_SZ2', '2'))
+PATH = ('artifacts/heisenberg_6x6_triplet.msgpack' if SZ2 == 2
+        else f'artifacts/heisenberg_6x6_sz{SZ2}.msgpack')
 SAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 N, BATCH = 36, 512
 E0_QMC = -0.678872 * N
@@ -33,7 +35,7 @@ E0_QMC = -0.678872 * N
 cfg = Config(num_sites=N, size_x=6, size_y=6,
              wavefunction_type='conv_2d', num_conv_layers=5,
              num_conv_filters=32, kernel_size=3, symmetrize=True,
-             symmetrize_spin_flip=False, total_sz2=2,
+             symmetrize_spin_flip=False, total_sz2=SZ2,
              heisenberg_jx=-1.0, batch_size=BATCH, seed=91)
 wf = build_wavefunction(cfg)
 ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(6, 6), -1.0, 1.0)
@@ -52,7 +54,7 @@ def local_energy(p, configs):
                        chunks).reshape(-1)
 
 smp = metropolis.init_sampler_for(jax.random.key(cfg.seed), wf, params, cfg)
-assert int(jnp.sum(smp.configs)) == BATCH * 2, 'chains must sit in Sz=+1'
+assert int(jnp.sum(smp.configs)) == BATCH * SZ2, f'chains must sit in Sz={SZ2/2:g}'
 smp = sweeps(params, smp, 50)
 values = []
 for i in range(SAMPLES):
@@ -63,6 +65,6 @@ for i in range(SAMPLES):
         print(f'{i+1} samples: E/N={m/N:.6f} +/- {err/N:.6f}', flush=True)
 
 m, err = binned_error(np.asarray(values))
-print(f'FINAL: E(Sz=1) = {m:.4f} +/- {err:.4f}   E/N = {m/N:.6f}')
-print(f'gap vs QMC E0 ({E0_QMC:.4f}): Delta = {m - E0_QMC:.4f} '
+print(f'FINAL: E(Sz={SZ2//2}) = {m:.4f} +/- {err:.4f}   E/N = {m/N:.6f}')
+print(f'gap vs QMC E0 ({E0_QMC:.4f}): Delta_{SZ2//2} = {m - E0_QMC:.4f} '
       f'+/- {err:.4f}')

@@ -35,8 +35,18 @@ from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
 from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
 
 E0_QMC_PER_SITE = -0.678872
+# GAP66_SZ2 = 2*Sz selects the sector: 2 (triplet, default) or 4
+# (quintet) — the Sz=2 energy gives the Anderson-tower consistency
+# check E(S) - E0 ~ S(S+1)/(2*theta*N): Delta_2/Delta_1 must be ~3.
+SZ2 = int(os.environ.get('GAP66_SZ2', '2'))
 GROUND_ARTIFACT = 'artifacts/heisenberg_6x6_symconv_v2.msgpack'
-OUT = 'artifacts/heisenberg_6x6_triplet.msgpack'
+if SZ2 == 2:
+    OUT = 'artifacts/heisenberg_6x6_triplet.msgpack'
+else:
+    OUT = f'artifacts/heisenberg_6x6_sz{SZ2}.msgpack'
+    # the adjacent sector's converged state is the best warm start
+    if os.path.exists('artifacts/heisenberg_6x6_triplet.msgpack'):
+        GROUND_ARTIFACT = 'artifacts/heisenberg_6x6_triplet.msgpack'
 EPOCHS = int(os.environ.get('GAP66_EPOCHS', '600'))
 BATCH = int(os.environ.get('GAP66_BATCH', '2048'))  # CPU smoke: 64
 
@@ -44,7 +54,7 @@ cfg = Config(num_sites=36, size_x=6, size_y=6,
              wavefunction_type='conv_2d', num_conv_layers=5,
              num_conv_filters=32, kernel_size=3,
              wavefunction_optimizer_type='SR',
-             total_sz2=2,
+             total_sz2=SZ2,
              batch_size=BATCH, num_batches_per_epoch=4,
              num_equilibration_sweeps=10, num_monte_carlo_sweeps=2,
              learning_rates=[0.01, 0.004, 0.0015],
@@ -93,9 +103,9 @@ tail = np.asarray(energies[-100:])
 e_t = float(tail.mean())
 err = float(tail.std() / np.sqrt(len(tail)))
 e0 = E0_QMC_PER_SITE * 36
-print(f'\nE(Sz=1) = {e_t:.5f} +/- {err:.5f}   E/N = {e_t/36:.6f}')
+print(f'\nE(Sz={SZ2//2}) = {e_t:.5f} +/- {err:.5f}   E/N = {e_t/36:.6f}')
 print(f'E0 (QMC) = {e0:.5f}')
-print(f'triplet gap Delta = {e_t - e0:.5f} +/- {err:.5f}')
+print(f'sector gap Delta_{SZ2//2} = {e_t - e0:.5f} +/- {err:.5f}')
 print('NOTE: epoch means are an upper-bound estimate; for the headline '
       'number run the split-program MC eval on the saved artifact with '
       'total_sz2=2.')
