@@ -1,16 +1,23 @@
 """Spinon dispersion demo: S(q, omega) of the N=20 Heisenberg chain.
 
-Trains a complex(fc x fc) ground state with dense SR, then runs the
+Trains a complex(rbm x fc) ground state with dense SR, then runs the
 antithetic linear-response protocol (ops/dynamics.py) at several
 momenta and reports each S(q, omega) peak against the des
 Cloizeaux-Pearson lower edge omega_dCP(q) = (pi/2)|sin q| — the exact
 spinon dispersion of the infinite chain (finite-N shifts expected).
 The reference framework has no dynamics of any kind.
 
-Usage:  python examples/dynamics_chain20.py [N=20] [EPOCHS=400]
+Complex dtypes are unsupported on the axon TPU relay (round-5 finding:
+device transfer AND compute of complex64 raise UNIMPLEMENTED), so this
+runs on CPU; the rbm-modulus ansatz converges where the round-4 fc x fc
+choice crawled (RESULTS.md row 1b: flat FC needs a ~1600-epoch anneal).
+
+Usage:  JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+            python examples/dynamics_chain20.py [N=20] [EPOCHS=600]
 Writes: artifacts/dynamics_chain{N}.json (per-q correlators + spectra)
 """
 import os
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import json
 import sys
@@ -29,14 +36,13 @@ from cgs_vmc_tpu.ops.observables import chain_positions
 from cgs_vmc_tpu.optim import GROUND_STATE_OPTIMIZERS
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 
 cfg = Config(num_sites=N, wavefunction_type='complex',
-             composite_wavefunction_types=('fully_connected',
-                                           'fully_connected'),
-             num_fc_layers=2, fc_layer_size=64,
+             composite_wavefunction_types=('rbm', 'fully_connected'),
+             num_fc_layers=1, fc_layer_size=64,
              wavefunction_optimizer_type='SR',
-             batch_size=1024, num_batches_per_epoch=2,
+             batch_size=512, num_batches_per_epoch=2,
              num_equilibration_sweeps=5, num_monte_carlo_sweeps=1,
              optimizer='gradient',
              learning_rates=[0.05, 0.02, 0.01],
@@ -50,7 +56,7 @@ state = opt.init_state(jax.random.key(cfg.seed))
 epoch = jax.jit(opt.epoch)
 
 t0 = time.time()
-print(f'training complex fc x fc ground state, N={N}...', flush=True)
+print(f'training complex rbm x fc ground state, N={N}...', flush=True)
 for i in range(EPOCHS):
     state, metrics = epoch(state)
     if i % 50 == 49:
@@ -64,7 +70,7 @@ positions = chain_positions(N)
 dt, n_steps, eps, eta = 0.05, 240, 0.05, 0.2
 omegas = np.linspace(0.05, 4.0, 400)
 results = {}
-for m in (2, 4, 6, 8, 10):
+for m in (2, 3, 5):
     q = 2.0 * np.pi * m / N
     probe = dynamics.FourierSz([q], positions)
     times, corr, _ = dynamics.sampled_linear_response(
