@@ -33,8 +33,26 @@ record() {  # record <name> <log> [tail_n]
   stamp "recorded + committed: $name"
 }
 
+wait_relay() {
+  # The axon relay hangs hard at times (observed round 3b, 4, and at
+  # 21:05 this round: even jnp.ones()@jnp.ones() from a fresh client
+  # blocks forever).  Running TPU stages while it is down just burns
+  # them with rc=143 junk rows — block here until a trivial device op
+  # round-trips.
+  local n=0
+  while ! timeout 120 python -c \
+      "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))" \
+      >/dev/null 2>&1; do
+    n=$((n + 1))
+    stamp "relay down (probe $n); waiting 120s"
+    sleep 120
+  done
+  [ "$n" -gt 0 ] && stamp "relay recovered after $n probes"
+}
+
 run_stage() {  # run_stage <name> <timeout_s> <log> <cmd...>
   local name=$1 tmo=$2 log=$3; shift 3
+  wait_relay
   stamp "stage: $name"
   flock "$LOCK" timeout "$tmo" "$@" > "$log" 2>&1
   local rc=$?
