@@ -64,12 +64,27 @@ for path, L, layers, filters in ARTIFACTS:
     def sq_mean(configs, _obs=obs):
         return jnp.mean(_obs.local_value(None, None, configs))
 
+    # Full-BZ structure factor S(q) = <|DFT2(Sz)|^2>/N as REAL cos/sin
+    # contractions: the axon relay cannot lower complex64 (jnp.fft.fft2
+    # hangs the whole relay — observed twice this round), and at L<=12
+    # two [L^2, L^2] GEMMs are trivial anyway.
+    xs = np.arange(L)
+    ang = 2.0 * np.pi / L * (xs[:, None] * xs[None, :])  # [k, x]
+    cosm, sinm = jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(
+        np.sin(ang), jnp.float32)
+
     @jax.jit
     def sq_map(configs, _L=L):
-        # Full-BZ structure factor in one shot: S(q) = <|FFT2(Sz)|^2>/N.
         sz = 0.5 * configs.reshape(-1, _L, _L).astype(jnp.float32)
-        f = jnp.fft.fft2(sz)
-        return jnp.mean(jnp.abs(f) ** 2, axis=0) / (_L * _L)
+        # exp(-i qx x) exp(-i qy y) = (cx - i sx)(cy - i sy); contract x
+        # then y, tracking the four real quadrature components.
+        cx = jnp.einsum('bxy,kx->bky', sz, cosm)
+        sx = jnp.einsum('bxy,kx->bky', sz, sinm)
+        re = (jnp.einsum('bky,ly->bkl', cx, cosm)
+              - jnp.einsum('bky,ly->bkl', sx, sinm))
+        im = (jnp.einsum('bky,ly->bkl', cx, sinm)
+              + jnp.einsum('bky,ly->bkl', sx, cosm))
+        return jnp.mean(re ** 2 + im ** 2, axis=0) / (_L * _L)
 
     def sweeps(p, s, k, _wf=wf):
         s = metropolis.refresh_amplitudes(_wf, p, s)
