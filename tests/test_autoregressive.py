@@ -144,6 +144,7 @@ def test_made_trains_mcmc_free():
     assert float(metrics['acceptance_rate']) == 1.0
 
 
+@pytest.mark.slow
 def test_complex_made_modulus_exact_sampling_frustrated():
     """MCMC-free FRUSTRATED VMC: complex(made modulus x fc phase) draws
     exactly from |psi|^2 = exp(2 log_modulus) (phase never enters the

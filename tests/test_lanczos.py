@@ -122,6 +122,7 @@ def test_mc_evaluate_matches_exact():
     assert res.energy <= res.e0
 
 
+@pytest.mark.slow
 def test_trained_rbm_improves_on_chain():
     # End-to-end: a short SR-trained RBM's measured energy improves under
     # the Lanczos step and stays variational.

@@ -260,6 +260,7 @@ def test_honeycomb_config_dispatch_and_marshall_gauge():
     assert (v > -1e-10).all()   # positive ground state in the gauge
 
 
+@pytest.mark.slow
 def test_honeycomb_sr_reaches_ed():
     """End-to-end: Marshall-gauged RBM + dense SR on the 2x2-cell (8-site)
     honeycomb AFM torus converges to the ED ground state."""

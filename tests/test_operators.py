@@ -6,6 +6,7 @@ and the energy-gradient estimator against the exact Rayleigh-quotient
 derivative.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -149,6 +150,7 @@ def test_chunked_local_value_matches_unchunked():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_local_value_threads_provided_amp():
     """With a precomputed denominator amp, the chunked path must slice it
     per chunk (not recompute) and still match the unchunked value — on a

@@ -1,6 +1,7 @@
 """SR oracle: natural gradient against the explicitly constructed S-matrix
 (SURVEY.md §4.2d) and solver cross-checks."""
 
+import pytest
 import numpy as np
 import jax
 import jax.flatten_util
@@ -231,6 +232,7 @@ def test_cg_solver_matches_dense():
                                    rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_jacobian_chunking_non_divisible_batch():
     """batch % sr_jacobian_chunk != 0 pads and chunks instead of silently
     running the unchunked vmap (round-1 ADVICE)."""

@@ -3,6 +3,7 @@ against exact distributions, swap bookkeeping, registry dispatch, mesh
 sharding, and a barrier-crossing demonstration the single-temperature
 sampler fails."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,7 @@ def test_registry_dispatches_to_tempering():
         'tempering'
 
 
+@pytest.mark.slow
 def test_physical_replica_samples_born_distribution():
     """The beta=1 replica must still sample |psi|^2 exactly — swaps are a
     valid MCMC move on the joint ladder distribution."""
@@ -146,6 +148,7 @@ def test_refresh_and_reset_dispatch():
     assert float(jnp.sum(cleared.swap_proposed)) == 0
 
 
+@pytest.mark.slow
 def test_pt_crosses_barrier_single_temperature_cannot():
     """Two spin configurations far apart in exchange-move distance carry
     ~all of |psi|^2; chains start in mode A.  Single-temperature chains
