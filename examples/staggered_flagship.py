@@ -93,13 +93,20 @@ for path, L, layers, filters in ARTIFACTS:
     sweeps = jax.jit(sweeps, static_argnums=2)
     smp = metropolis.init_sampler(jax.random.key(cfg.seed), wf, params,
                                   n, BATCH)
-    smp = sweeps(params, smp, 100)  # equilibrate
+    # Equilibration must scale with the ORDER-building time, not the
+    # energy-relaxation time: from a random Sz=0 init, local pair
+    # exchanges build Neel order diffusively, ~L^2 sweeps — the first
+    # run's 100 sweeps left L=12 at 3S/N = 0.0898 vs the ~0.13 QMC
+    # finite-size trend while its ENERGY was already converged.
+    equil = max(100, 8 * L * L)
+    decorr = max(2, L // 3)
+    smp = sweeps(params, smp, equil)
     vals = []
     bz = np.zeros((L, L), np.float64)
     for i in range(SAMPLES):
         vals.append(float(sq_mean(smp.configs)))
         bz += np.asarray(sq_map(smp.configs))
-        smp = sweeps(params, smp, 2)
+        smp = sweeps(params, smp, decorr)
     bz /= SAMPLES
     s_mean, s_err = binned_error(np.asarray(vals))
     # Cross-check: the FFT map's (pi,pi) entry is the same estimator.
