@@ -60,6 +60,16 @@ def build_wavefunction(config) -> Wavefunction:
             WAVEFUNCTION_TYPES[wf_type].from_config(config), config)
 
     if wf_type == 'complex':
+        import jax
+        if jax.default_backend() == 'axon':
+            # Fail fast instead of hanging: the axon TPU relay cannot
+            # lower complex64 at all — compute or transfer raises
+            # UNIMPLEMENTED, and some complex programs hang the relay
+            # for every client (observed with jnp.fft.fft2, round 5).
+            raise RuntimeError(
+                "complex wavefunctions cannot run on the 'axon' TPU "
+                'relay backend (complex64 is unimplemented there); run '
+                'with JAX_PLATFORMS=cpu for complex-ansatz work.')
         from cgs_vmc_tpu.models.complex_phase import build_complex_wavefunction
         return maybe_symmetrize(build_complex_wavefunction(config), config)
 
