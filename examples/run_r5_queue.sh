@@ -50,12 +50,41 @@ wait_relay() {
   [ "$n" -gt 0 ] && stamp "relay recovered after $n probes"
 }
 
+STALL_S=900   # no log growth for 15 min => relay hang, kill + retry
+
 run_stage() {  # run_stage <name> <timeout_s> <log> <cmd...>
   local name=$1 tmo=$2 log=$3; shift 3
-  wait_relay
-  stamp "stage: $name"
-  flock "$LOCK" timeout "$tmo" "$@" > "$log" 2>&1
-  local rc=$?
+  local attempt rc
+  for attempt in 1 2; do
+    wait_relay
+    stamp "stage: $name (attempt $attempt)"
+    setsid flock "$LOCK" timeout "$tmo" "$@" > "$log" 2>&1 &
+    local pid=$!
+    # Watchdog: the relay sometimes hangs a client mid-run without
+    # killing it (observed 20:49, 21:54 this round; round-4 saw 36-min
+    # freezes).  A hung client burns its whole stage timeout and holds
+    # the lock; kill on log staleness instead and retry once.  setsid
+    # gives the stage its own process group so the whole
+    # flock->timeout->python tree dies together (kill by explicit
+    # group id, never by name pattern).
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      local age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+      if [ "$age" -gt "$STALL_S" ]; then
+        stamp "$name stalled ${age}s (relay hang?); killing group $pid"
+        kill -TERM -- "-$pid" 2>/dev/null
+        sleep 5
+        kill -KILL -- "-$pid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$pid"; rc=$?
+    # 143/137 with a stale log = our own stall kill; retry once.
+    if { [ "$rc" = 143 ] || [ "$rc" = 137 ]; } && [ "$attempt" = 1 ]; then
+      continue
+    fi
+    break
+  done
   stamp "$name rc=$rc"
   record "$name (rc=$rc)" "$log"
   return $rc
