@@ -59,6 +59,7 @@ def _check(cfg, batch=24, chunk=0, seed=0, kink_frac=0.0):
         np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_base_conv_rows_match():
     _check(Config(num_sites=16, size_x=4, size_y=4,
                   wavefunction_type='conv_2d', num_conv_layers=2,
@@ -209,6 +210,7 @@ def test_conv1d_even_kernel_rows_match():
            batch=20, chunk=8)
 
 
+@pytest.mark.slow
 def test_resnet1d_rows_match():
     _check(Config(num_sites=12, wavefunction_type='res_net_1d',
                   num_resnet_blocks=2, num_conv_filters=6, kernel_size=3),

@@ -172,6 +172,7 @@ def test_energy_shift_invariance():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tfim_moments_and_step():
     # The evaluator is operator-generic (any LocalOperator): TFIM moments
     # over the FULL 2^N basis match the dense Pauli matrix, and the step
