@@ -305,11 +305,70 @@ def _measure_interleaved(sweep_rep, percall_rep, fused_rep):
     for i in range(max(SWEEP_REPS, EPOCH_REPS, FUSED_REPS)):
         if percall_rep is not None and i < EPOCH_REPS:
             percall_t.append(percall_rep())
+            _beat()
         if i < SWEEP_REPS:
             sweep_t.append(sweep_rep())
+            _beat(best_sweep_t=min(sweep_t))
         if percall_rep is not None and i < FUSED_REPS:
             fused_t.append(fused_rep())
+            _beat()
     return sweep_t, percall_t, fused_t
+
+
+# --- Relay-hang watchdog (round 5). ----------------------------------
+# The axon relay can hang a client mid-run indefinitely (futex-parked on
+# the PJRT thread, no error).  A hung bench gives the driver NOTHING; a
+# watchdog that prints the best-measured-so-far primary metric (or an
+# explicit error JSON) is strictly more informative.
+WATCHDOG_S = 900.0
+_HB = {'t': time.time(), 'best_sweep_t': None, 'done': False}
+
+
+def _beat(best_sweep_t=None):
+    _HB['t'] = time.time()
+    if best_sweep_t is not None:
+        prev = _HB['best_sweep_t']
+        _HB['best_sweep_t'] = (best_sweep_t if prev is None
+                               else min(prev, best_sweep_t))
+
+
+def _start_watchdog():
+    import threading
+
+    def watch():
+        while not _HB['done']:
+            time.sleep(20)
+            if _HB['done']:
+                return
+            if time.time() - _HB['t'] > WATCHDOG_S:
+                best = _HB['best_sweep_t']
+                if best:
+                    sps = SWEEPS_PER_CALL / best
+                    payload = {
+                        'metric': ('metropolis_sweeps_per_sec_per_chip_'
+                                   '6x6_rbm_2048chains'),
+                        'value': round(sps, 3),
+                        'unit': 'sweeps/s',
+                        'vs_baseline': round(sps / A100_SWEEPS_PER_SEC, 4),
+                        'extra': {'watchdog_abort':
+                                  f'relay hang: no progress for '
+                                  f'{WATCHDOG_S:.0f}s; value is the best '
+                                  'completed sweep rep'},
+                    }
+                else:
+                    payload = {
+                        'metric': ('metropolis_sweeps_per_sec_per_chip_'
+                                   '6x6_rbm_2048chains'),
+                        'value': 0.0, 'unit': 'sweeps/s',
+                        'vs_baseline': 0.0,
+                        'extra': {'watchdog_abort':
+                                  'relay hang before any sweep rep '
+                                  'completed'},
+                    }
+                print(json.dumps(payload), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def _acquire_tpu_lock(max_wait_s=1200):
@@ -332,14 +391,19 @@ def _acquire_tpu_lock(max_wait_s=1200):
 
 def main():
     lock_file, lock_wait_s, lock_held = _acquire_tpu_lock()
+    _beat()
+    _start_watchdog()
     dispatch_before = _dispatch_latency_ms()
+    _beat()
     sweep_rep, sweep_finalize = prepare_rbm_kernel()
+    _beat()
     epoch_error = None
     try:
         percall_rep, fused_rep, epoch_finalize = prepare_flagship_sr_epoch()
     except Exception as err:  # the primary metric must still print
         percall_rep = fused_rep = epoch_finalize = None
         epoch_error = f'{type(err).__name__}: {err}'[:200]
+    _beat()
 
     # Measurement passes: re-run when any rep spread exceeds the
     # threshold (ambient relay load), keep the lowest-max-spread pass.
@@ -428,6 +492,7 @@ def main():
     except Exception as err:
         extra['made_error'] = f'{type(err).__name__}: {err}'[:200]
 
+    _HB['done'] = True
     print(json.dumps({
         'metric': 'metropolis_sweeps_per_sec_per_chip_6x6_rbm_2048chains',
         'value': round(sweeps_per_sec, 3),
