@@ -100,13 +100,25 @@ for path, L, layers, filters in ARTIFACTS:
     # finite-size trend while its ENERGY was already converged.
     equil = max(100, 8 * L * L)
     decorr = max(2, L // 3)
-    smp = sweeps(params, smp, equil)
+    # Chunked equilibration with progress prints: the queue watchdog
+    # kills a stage whose log goes stale for 15 min, and the L=12 leg
+    # legitimately spends ~25 min here.
+    done = 0
+    while done < equil:
+        step = min(200, equil - done)
+        smp = sweeps(params, smp, step)
+        done += step
+        print(f'  L={L}: equilibrated {done}/{equil} sweeps '
+              f't={time.time()-t0:.0f}s', flush=True)
     vals = []
     bz = np.zeros((L, L), np.float64)
     for i in range(SAMPLES):
         vals.append(float(sq_mean(smp.configs)))
         bz += np.asarray(sq_map(smp.configs))
         smp = sweeps(params, smp, decorr)
+        if (i + 1) % 100 == 0:
+            print(f'  L={L}: {i + 1}/{SAMPLES} samples '
+                  f't={time.time()-t0:.0f}s', flush=True)
     bz /= SAMPLES
     s_mean, s_err = binned_error(np.asarray(vals))
     # Cross-check: the FFT map's (pi,pi) entry is the same estimator.
