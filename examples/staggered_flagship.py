@@ -49,7 +49,26 @@ ARTIFACTS = [
 
 t0 = time.time()
 rows = []
+
+# Per-L resume cache: the axon relay crashes mid-run often enough
+# (worker crash at 02:38Z killed the L=12 leg after 11 min of clean
+# L=6/L=10 data) that each finished lattice size is persisted and
+# skipped on restart.  Keyed on (L, SAMPLES, BATCH).
+PARTIAL = 'artifacts/staggered_partial.json'
+_cache = {}
+if os.path.exists(PARTIAL):
+    for r in json.load(open(PARTIAL)):
+        if r['samples'] == SAMPLES and r['batch'] == BATCH:
+            _cache[r['L']] = r
+
 for path, L, layers, filters in ARTIFACTS:
+    if L in _cache:
+        r = _cache[L]
+        rows.append((L, r['s'], r['s_err'], r['y'], r['y_err'],
+                     np.asarray(r['sq_map'], np.float64)))
+        print(f'L={L:2d}: cached from {PARTIAL}: 3S/N = {r["y"]:.5f} '
+              f'+/- {r["y_err"]:.5f}', flush=True)
+        continue
     n = L * L
     cfg = Config(num_sites=n, size_x=L, size_y=L,
                  wavefunction_type='conv_2d', num_conv_layers=layers,
@@ -129,6 +148,12 @@ for path, L, layers, filters in ARTIFACTS:
     print(f'L={L:2d}: S(pi,pi) = {s_mean:.4f} +/- {s_err:.4f}   '
           f'3S/N = {y:.5f} +/- {yerr:.5f}   t={time.time()-t0:.0f}s',
           flush=True)
+    os.makedirs('artifacts', exist_ok=True)
+    with open(PARTIAL, 'w') as f:
+        json.dump([dict(L=int(Lr), s=s, s_err=se, y=yy, y_err=ye,
+                        sq_map=np.asarray(b).tolist(),
+                        samples=SAMPLES, batch=BATCH)
+                   for Lr, s, se, yy, ye, b in rows], f)
 
 # Weighted least squares y = m2 + c/L over the three sizes.
 Ls = np.array([r[0] for r in rows], np.float64)
@@ -161,4 +186,6 @@ with open('artifacts/staggered_flagship.json', 'w') as f:
                               'm_s_err': float(m_s_err)},
                'fit_quadratic_intercept': float(cq[0]),
                'samples': SAMPLES, 'batch': BATCH}, f)
+if os.path.exists(PARTIAL):
+    os.remove(PARTIAL)
 print('wrote artifacts/staggered_flagship.json', flush=True)
