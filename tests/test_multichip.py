@@ -133,6 +133,7 @@ def test_sharded_evaluation_matches_ed():
     assert result.error < 1e-2
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -218,6 +219,7 @@ def test_basis_iter_devices_iterate_disjoint_batches():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_sharded_transformer_update_matches_single_device():
     """The newest ansatz family (models/attention.py) under the chains
     mesh: a sharded SR update over a FIXED sample batch reproduces the
