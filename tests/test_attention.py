@@ -88,6 +88,7 @@ def test_permutation_invariant_without_pos_embed():
     assert np.abs(np.asarray(base2) - np.asarray(permuted2)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_every_leaf():
     wf = SpinTransformer(N, num_layers=1, model_dim=8, num_heads=2)
     params = wf.init(jax.random.key(8))

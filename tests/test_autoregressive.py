@@ -109,6 +109,7 @@ def test_dispatch_and_sweeps_adapter():
                       == np.asarray(jax.random.key_data(state.keys)))
 
 
+@pytest.mark.slow
 def test_made_trains_mcmc_free():
     """SR on the Marshall-gauged N=8 chain with exact sampling: every
     epoch's samples are i.i.d. from |psi|^2; energy descends to within

@@ -202,6 +202,7 @@ def test_complex_vector_dump_format(tmp_path):
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_complex_gradient_formula_vs_rayleigh_autodiff():
     """Full-basis estimator gradient (the formula the optimizer uses,
     built from log_amp_phase_pullback) == 1/2 * autodiff of the exact
@@ -243,6 +244,7 @@ def test_complex_gradient_formula_vs_rayleigh_autodiff():
                                    rtol=2e-3, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_complex_log_overlap_distillation():
     """LogOverlapSWO distills a complex target into a complex student:
     |<psi_t|psi>| fidelity rises toward 1."""
@@ -274,6 +276,7 @@ def test_complex_log_overlap_distillation():
     assert f1 > f0 + 0.05 and f1 > 0.9, f'fidelity {f0} -> {f1}'
 
 
+@pytest.mark.slow
 def test_complex_log_overlap_itswo_descends():
     """LogOverlapITSWO (imaginary-time log-overlap) lowers the energy of
     a complex ansatz on the frustrated chain."""
@@ -333,6 +336,7 @@ def test_complex_sr_trains_majumdar_ghosh():
     assert abs(final - e0) / abs(e0) < 0.05
 
 
+@pytest.mark.slow
 def test_complex_energy_gradient_descends():
     """The EnergyGradient complex branch lowers the energy."""
     config = Config(

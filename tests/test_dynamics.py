@@ -76,6 +76,7 @@ def test_quench_matches_first_order_multiplication():
     assert fidelity > 1 - 5e-5, fidelity
 
 
+@pytest.mark.slow
 def test_correlator_matches_dense_dynamics():
     """C(t) from the exact-basis linear-response run == the dense
     Re<0|O(t)O|0>_connected, within O(eps^2) + integrator error."""

@@ -94,6 +94,7 @@ def test_scanned_epochs_checkpoint_and_resume(tmp_path):
     assert len(_metric_rows(cfg.checkpoint_dir)) >= 8
 
 
+@pytest.mark.slow
 def test_scanned_epochs_compose_with_param_ema(tmp_path):
     """EMA wrapped INSIDE the scan: k fused epochs update the average k
     times, identically to per-epoch dispatch."""
@@ -108,6 +109,7 @@ def test_scanned_epochs_compose_with_param_ema(tmp_path):
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_param_ema_on_mesh(tmp_path):
     """The EMA wrapper composes with the shard_map epoch: the slot rides
     extra (replicated), updates every epoch, and matches the

@@ -80,6 +80,7 @@ def test_evaluate_vector_and_overlap(tmp_path):
     assert lines[0].startswith('(') and lines[0].endswith(')')
 
 
+@pytest.mark.slow
 def test_exact_expectation_matches_ed():
     from cgs_vmc_tpu.evaluate import exact_expectation
     wf, params = _exact_wf()

@@ -309,6 +309,7 @@ def test_excited_sr_sharded_epoch_matches_oracle():
     assert abs(float(metrics['energy']) - E0) < 1e-3
 
 
+@pytest.mark.slow
 def test_penalty_force_identity_against_dense_autodiff():
     """EXACT algebra check of the X-form penalty force used by ExcitedSR:
     with exact enumeration weights, 2*Re<O*(v - v_bar)> for

@@ -47,6 +47,7 @@ def _reference_sweeps(wf, params, configs, u_all):
     return configs
 
 
+@pytest.mark.slow
 def test_matches_full_forward_oracle():
     """Same uniforms => identical trajectories (cached environments vs
     full recomputation)."""

@@ -21,6 +21,7 @@ def _setup(seed=0, chains=CHAINS):
     return wf, params, state
 
 
+@pytest.mark.slow
 def test_sherman_morrison_ratio_matches_full_recompute():
     """The rank-2 determinant-lemma ratio must equal |det M'|/|det M| from
     scratch for random exchange moves."""

@@ -28,6 +28,7 @@ def test_supports():
     assert not fast_rbm.supports(build_wavefunction(config))
 
 
+@pytest.mark.slow
 def test_cache_matches_model_apply():
     wf, params = _pure_rbm()
     state = metropolis.init_sampler(jax.random.key(1), wf, params, N, 32)
@@ -73,6 +74,7 @@ def test_training_with_fast_sampler_converges():
     assert float(metrics['acceptance_rate']) > 0.05
 
 
+@pytest.mark.slow
 def test_stats_accumulate():
     wf, params = _pure_rbm()
     state = metropolis.init_sampler(jax.random.key(2), wf, params, N, 16)
@@ -83,6 +85,7 @@ def test_stats_accumulate():
     assert 0.0 <= rate <= 1.0
 
 
+@pytest.mark.slow
 def test_fast_path_advances_all_chain_keys():
     """The fast path draws its randomness from keys[0] but must advance
     EVERY chain's key, so a later switch to the generic sampler never

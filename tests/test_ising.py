@@ -27,6 +27,7 @@ def _rbm_config(n, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_local_value_matches_dense_matvec():
     """E_loc(R) == (H psi)(R) / psi(R) on every full-space basis state."""
     n = 6
@@ -47,6 +48,7 @@ def test_local_value_matches_dense_matvec():
     np.testing.assert_allclose(e_loc, expected, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_local_value_2d_matches_sparse_matvec():
     """4x4 square TFIM near criticality (h/J ~ 3): E_loc against the
     sparse full-space matrix — the 2-D + sparse-oracle path."""

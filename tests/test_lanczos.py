@@ -41,6 +41,7 @@ def _dense_moments(h_dense, psi):
     return tuple(out)
 
 
+@pytest.mark.slow
 def test_exact_moments_match_dense_ed():
     # A generic (non-eigenstate) vector exercises every estimator term.
     ham, h_dense = _dense_setup()

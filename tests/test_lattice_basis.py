@@ -146,6 +146,7 @@ def test_triangular_config_dispatch():
             Config(num_sites=12, size_x=4, size_y=3, lattice_type='kagome'))
 
 
+@pytest.mark.slow
 def test_triangular_local_energy_matches_dense_matrix():
     """Frustrated-lattice wiring: E_loc from the triangular bond list ==
     (H psi)(R)/psi(R) from the dense matrix on the same bonds."""
@@ -318,6 +319,7 @@ def test_kagome_lattice_geometry():
     assert len(keys) == len(small)
 
 
+@pytest.mark.slow
 def test_kagome_config_dispatch_and_local_energy():
     """Dispatch + wiring: kagome E_loc from the bond list == the dense
     matrix on the same bonds (2x2 cells, 12 sites)."""

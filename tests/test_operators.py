@@ -101,6 +101,7 @@ def test_ite_target():
     np.testing.assert_allclose(values, expected, rtol=3e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_energy_gradient_matches_rayleigh_derivative():
     """<E O> - <E><O> == d/dtheta <H>/2 exactly on the full basis
     (factor 2 for real wavefunctions; reference uses the same estimator,
@@ -168,6 +169,7 @@ def test_chunked_local_value_threads_provided_amp():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_local_value_non_divisible_batch():
     """batch % sample_chunk != 0 must pad-and-chunk, not silently fall back
     to the full fan-out (round-1 ADVICE: silent chunking skip)."""

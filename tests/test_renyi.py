@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cgs_vmc_tpu import basis, lattice
 from cgs_vmc_tpu.config import Config
@@ -74,6 +75,7 @@ def test_swap_values_complex_state():
     np.testing.assert_allclose(swap_mean, exact, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_renyi2_mc_matches_ed():
     e0, v0 = ed.ground_state(N, BONDS)
     wf = FullVector.for_sector(N, v0.astype(np.float32))

@@ -50,6 +50,7 @@ def _explicit_natural_gradient(wf, params, configs, e_loc):
     return delta, eps_eff
 
 
+@pytest.mark.slow
 def test_dense_solver_matches_explicit_s_matrix():
     config, wf, opt = _setup('dense')
     params = wf.init(jax.random.key(0))
@@ -207,6 +208,7 @@ def test_sample_cg_complex_epoch_descends():
     assert np.mean(energies[-4:]) < np.mean(energies[:4]) - 0.5
 
 
+@pytest.mark.slow
 def test_cg_solver_matches_dense():
     """CG (absolute shift) equals dense (relative shift) when the CG config
     is given the dense solver's effective epsilon."""

@@ -105,6 +105,7 @@ def test_tempered_replica_samples_flattened_distribution():
         'to its own target'
 
 
+@pytest.mark.slow
 def test_swap_bookkeeping_and_rates():
     cfg = _rbm_config(batch_size=64)
     wf = build_wavefunction(cfg)
@@ -126,6 +127,7 @@ def test_swap_bookkeeping_and_rates():
                                   np.full(64, n_sweeps * N))
 
 
+@pytest.mark.slow
 def test_refresh_and_reset_dispatch():
     cfg = _rbm_config(batch_size=32)
     wf = build_wavefunction(cfg)
