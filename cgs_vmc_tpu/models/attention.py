@@ -69,18 +69,20 @@ class SpinTransformer(Wavefunction):
         }
         # Residual-branch output projections shrink with depth so the
         # initial residual stream stays O(1) (GPT-2-style 1/sqrt(2L)).
-        resid_scale = 1.0 / jnp.sqrt(jnp.asarray(2.0 * self.num_layers))
+        # Host math, not jnp: init must stay traceable (eval_shape /
+        # AOT shape probes trace it, and float(tracer) raises).
+        resid_scale = (2.0 * self.num_layers) ** -0.5
         for i in range(self.num_layers):
             k = keys[2 + 4 * i: 6 + 4 * i]
             params[f'block_{i}'] = {
                 'ln1': _layernorm_init(d),
                 'qkv': nn.linear_init(k[0], d, 3 * d),
                 'attn_out': nn.linear_init(k[1], d, d,
-                                           scale=float(resid_scale)),
+                                           scale=resid_scale),
                 'ln2': _layernorm_init(d),
                 'mlp_in': nn.linear_init(k[2], d, 4 * d),
                 'mlp_out': nn.linear_init(k[3], 4 * d, d,
-                                          scale=float(resid_scale)),
+                                          scale=resid_scale),
             }
         # Small head init keeps initial logψ nearly flat (see nn.linear_init).
         head_scale = 0.1 if self.output_activation == 'exp' else 1.0

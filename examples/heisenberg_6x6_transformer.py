@@ -36,6 +36,7 @@ cfg = Config(num_sites=N, size_x=6, size_y=6,
              learning_rate_stops=[200, 450, 650],
              optimizer='gradient', heisenberg_jx=-1.0,
              sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
+             sr_jacobian_chunk=64,
              sr_reject_residual=0.5, symmetrize=True, seed=17)
 EPOCHS = 800
 bonds = lattice.square_lattice_bonds(6, 6)
@@ -51,7 +52,12 @@ def sweeps(params, smp, n):
 
 @jax.jit
 def local_energy(params, configs):
-    chunks = configs.reshape(32, -1, cfg.num_sites)
+    # 8 configs/chunk: each chunk's connected-config forward is
+    # 8*72 bonds * 16 symmetry copies = 9216 rows, so the per-layer
+    # attention score buffer is [9216, 8, 36, 36] f32 ~ 0.95 GB.  The
+    # first run used 32 chunks -> a 24 GB buffer that OOM'd 16 GB HBM
+    # (logs/transformer_6x6.log, round 5).
+    chunks = configs.reshape(512, -1, cfg.num_sites)
     return jax.lax.map(lambda c: ham.local_value(wf, params, c),
                        chunks).reshape(-1)
 
