@@ -122,13 +122,22 @@ for path, L, layers, filters in ARTIFACTS:
     # Chunked equilibration with progress prints: the queue watchdog
     # kills a stage whose log goes stale for 15 min, and the L=12 leg
     # legitimately spends ~25 min here.
+    # Short per-call chunks, SYNCED: at L=12 a 200-sweep call is one
+    # ~100 s device execution, and the relay killed the worker on every
+    # such attempt ("TPU worker process crashed", 3x at 04:0xZ) while
+    # the same lattice trains fine with 2-10-sweep calls.  Keep each
+    # execution ~15-25 s and block between chunks so the dispatch queue
+    # stays shallow.
     done = 0
+    step_sz = max(10, 4000 // (L * L))
     while done < equil:
-        step = min(200, equil - done)
+        step = min(step_sz, equil - done)
         smp = sweeps(params, smp, step)
+        jax.block_until_ready(smp.configs)
         done += step
-        print(f'  L={L}: equilibrated {done}/{equil} sweeps '
-              f't={time.time()-t0:.0f}s', flush=True)
+        if done % 200 < step_sz or done == equil:
+            print(f'  L={L}: equilibrated {done}/{equil} sweeps '
+                  f't={time.time()-t0:.0f}s', flush=True)
     vals = []
     bz = np.zeros((L, L), np.float64)
     for i in range(SAMPLES):
