@@ -25,6 +25,10 @@ from cgs_vmc_tpu.sampler import metropolis
 
 OUT = 'artifacts/heisenberg_6x6_transformer.msgpack'
 N = 36
+# TF66_EPOCHS compresses the whole run (LR anneal stops scale with it)
+# so the flagship datum fits whatever wall-clock window remains.
+EPOCHS = int(os.environ.get('TF66_EPOCHS', '800'))
+_stops = [max(1, round(s * EPOCHS / 800)) for s in (200, 450, 650)]
 cfg = Config(num_sites=N, size_x=6, size_y=6,
              wavefunction_type='transformer',
              num_attention_layers=4, attention_dim=64,
@@ -33,12 +37,11 @@ cfg = Config(num_sites=N, size_x=6, size_y=6,
              batch_size=1024, num_batches_per_epoch=4,
              num_equilibration_sweeps=10, num_monte_carlo_sweeps=2,
              learning_rates=[0.02, 0.01, 0.004, 0.0015],
-             learning_rate_stops=[200, 450, 650],
+             learning_rate_stops=_stops,
              optimizer='gradient', heisenberg_jx=-1.0,
              sr_diag_shift=1e-2, sr_solver='dense', sr_delta_clip=1.0,
              sr_jacobian_chunk=64,
              sr_reject_residual=0.5, symmetrize=True, seed=17)
-EPOCHS = 800
 bonds = lattice.square_lattice_bonds(6, 6)
 wf = build_wavefunction(cfg)
 ham = HeisenbergHamiltonian(bonds, -1.0, 1.0)
@@ -88,7 +91,7 @@ for i in range(EPOCHS):
         e = float(jnp.mean(e_loc))
         print(f'epoch {i+1}: E/N={e/N:.6f} err={(e-E_REF)/abs(E_REF):.2e} '
               f'res={float(res):.3f} t={time.time()-t0:.0f}s', flush=True)
-    if i % 100 == 99:
+    if i % 50 == 49:
         with open(OUT, 'wb') as f:
             f.write(serialization.to_bytes(jax.device_get(params)))
 

@@ -127,13 +127,17 @@ for path, L, layers, filters in ARTIFACTS:
     # such attempt ("TPU worker process crashed", 3x at 04:0xZ) while
     # the same lattice trains fine with 2-10-sweep calls.  Keep each
     # execution ~15-25 s and block between chunks so the dispatch queue
-    # stays shallow.
+    # stays shallow.  NOTE jax.block_until_ready is a no-op on the axon
+    # relay (the 04:22Z attempt "finished" 1152 L=12 sweeps in 0 s of
+    # wall clock, then the worker crashed under ~115 queued executions
+    # at the first real materialization) — only an actual device->host
+    # transfer blocks, so sync on a scalar device_get per chunk.
     done = 0
-    step_sz = max(10, 4000 // (L * L))
+    step_sz = max(8, 2500 // (L * L))
     while done < equil:
         step = min(step_sz, equil - done)
         smp = sweeps(params, smp, step)
-        jax.block_until_ready(smp.configs)
+        _ = jax.device_get(smp.configs[0, 0])  # true barrier on the relay
         done += step
         if done % 200 < step_sz or done == equil:
             print(f'  L={L}: equilibrated {done}/{equil} sweeps '
