@@ -108,8 +108,15 @@ def snapshot(label, params):
 
 print('training symmetrized conv 7x32 at 4x4 (flagship family)...',
       flush=True)
+t_tr = time.time()
 for i in range(EPOCHS):
     state, metrics = epoch_fn(state)
+    if i == 0 or (i + 1) % 25 == 0:
+        # heartbeat (watchdog kills a silent stage after 15 min; the
+        # device_get also keeps the relay's dispatch queue shallow)
+        e = float(metrics['energy'])
+        print(f'  epoch {i+1}/{EPOCHS}: E={e:.4f} '
+              f't={time.time()-t_tr:.0f}s', flush=True)
     if (i + 1) in SNAPSHOTS:
         snapshot(i + 1, state.params)
 
