@@ -33,7 +33,7 @@ Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site \
 """
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
-import time, functools, numpy as np, jax, jax.numpy as jnp
+import threading, time, functools, numpy as np, jax, jax.numpy as jnp
 from flax import serialization
 from cgs_vmc_tpu import lattice
 from cgs_vmc_tpu.config import Config
@@ -124,6 +124,22 @@ def save(i):
         f.write(str(i))
 
 
+def _compile_heartbeat(window_s=2700, interval_s=240):
+    # Fresh-shape compiles through the axon relay can sit silent for
+    # 10+ min and the queue watchdog kills a 15-min-stale log; keep the
+    # log warm over the compile window only (true hangs are bounded by
+    # the stage timeout).
+    t0 = time.time()
+
+    def beat():
+        while time.time() - t0 < window_s:
+            time.sleep(interval_s)
+            print(f'  [heartbeat t={time.time()-t0:.0f}s]', flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+_compile_heartbeat()
 phase_t = None
 i = start_epoch - 1  # loop may be empty on a fully-resumed run
 for i in range(start_epoch, EPOCHS):

@@ -31,6 +31,7 @@ Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site \
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import json
+import threading
 import time
 
 import numpy as np
@@ -108,6 +109,25 @@ def snapshot(label, params):
 
 print('training symmetrized conv 7x32 at 4x4 (flagship family)...',
       flush=True)
+
+
+def _compile_heartbeat(window_s=2700, interval_s=240):
+    # Fresh-shape compiles through the axon relay can sit silent for
+    # 10+ min; the queue watchdog kills a stage whose log is stale for
+    # 15 min.  Keep the log warm over the compile window only — after
+    # it, the real per-epoch prints take over and the watchdog regains
+    # authority (true hangs are bounded by the stage timeout).
+    t0 = time.time()
+
+    def beat():
+        while time.time() - t0 < window_s:
+            time.sleep(interval_s)
+            print(f'  [heartbeat t={time.time()-t0:.0f}s]', flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+_compile_heartbeat()
 t_tr = time.time()
 for i in range(EPOCHS):
     state, metrics = epoch_fn(state)
