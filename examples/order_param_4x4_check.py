@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from cgs_vmc_tpu import basis as basis_lib
 from cgs_vmc_tpu import lattice
 from cgs_vmc_tpu.config import Config
-from cgs_vmc_tpu.evaluate import binned_error, exact_expectation
+from cgs_vmc_tpu.evaluate import binned_error
 from cgs_vmc_tpu.models import build_wavefunction
 from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
 from cgs_vmc_tpu.ops.observables import SpinStructureFactor, square_positions
@@ -94,10 +94,29 @@ epoch_fn = jax.jit(opt.epoch)
 
 rows = []
 
+# JITTED full-basis contraction (evaluate.exact_expectation runs the
+# forwards eagerly — through the axon relay that is one dispatch per
+# primitive, minutes of silence, and the unchunked 2.16M-row conv
+# intermediates RESOURCE_EXHAUSTED the 16 GB HBM on the first attempt).
+ham_meas = HeisenbergHamiltonian(bonds, -1.0, 1.0, sample_chunk=256)
+_h_loc = jax.jit(lambda p, c: ham_meas.local_value(wf, p, c))
+_s_loc = jax.jit(lambda c: obs.local_value(None, None, c))
+_logpsi = jax.jit(lambda p, c: wf.apply(p, c).log)
+_chunks = np.split(states, 6)  # 12870 = 6 x 2145, static shapes
+
+
+def _exact(params, loc_fn):
+    logs = np.concatenate([np.asarray(_logpsi(params, jnp.asarray(c)),
+                                      np.float64) for c in _chunks])
+    vals = np.concatenate([np.asarray(loc_fn(jnp.asarray(c)), np.float64)
+                           for c in _chunks])
+    w = np.exp(2.0 * (logs - logs.max()))
+    return float(np.sum(w * vals) / np.sum(w))
+
 
 def snapshot(label, params):
-    e = exact_expectation(wf, params, ham, N, n_down=N // 2)
-    s = exact_expectation(wf, params, obs, N, n_down=N // 2)
+    e = _exact(params, lambda c: _h_loc(params, c))
+    s = _exact(params, _s_loc)
     rel = (e - e0) / abs(e0)
     y = 3.0 * s / N
     deficit = (y_exact - y) / y_exact
