@@ -239,6 +239,12 @@ def exact_expectation(
     The zero-variance / debugging companion to `evaluate_operator` —
     practical up to num_sites ≈ 20.  Evaluated in batches so large
     sectors don't blow up the connected-config fan-out.
+
+    NOTE: the forwards here run EAGERLY (op-by-op) — fine on CPU where
+    the suite uses it, but through the axon TPU relay that is one
+    dispatch per primitive and the unchunked connected-config
+    intermediates can exhaust HBM.  On TPU, jit a chunked contraction
+    instead (see examples/order_param_4x4_check.py).
     """
     states = basis_lib.enumerate_sz_basis(num_sites, n_down)
     logs, values = [], []
