@@ -1,15 +1,20 @@
-"""Measure S(pi,pi) (and 3S/N) on one trained conv artifact.
+"""Measure S(pi,pi) AND the energy of the SAME chains on one trained
+conv artifact — the decisive staggered-order diagnostic.
 
-Companion to examples/staggered_flagship.py for single-artifact
-comparisons — round 5 uses it to measure the 10x10 5x32 artifact
-(rel_err 6.7e-4) next to the deep 7x32 one (2.55e-4, 3S/N = 0.1359):
-if the staggered-order deficit shrinks as the energy error drops, the
-order-parameter story quantified exactly at 4x4
-(examples/order_param_4x4_check.py) holds at flagship size.
+Round-5 finding that motivates the energy column: inverting the
+committed S(q) maps (examples/correlation_length.py) shows the L=12
+staggered run's nearest-neighbour correlator C(1) = -0.0995 where the
+state's measured energy (E/N = -0.670) requires SzSz(1) ~ -0.112 — an
+11% short-range discrepancy that CANNOT be a property of the state
+(its energy pins C(1)); the chains in that run were therefore not
+sampling |psi|^2, despite a reproducible S(pi,pi) plateau across 100
+vs 1152 equilibration sweeps.  This script measures E/N, 3S(pi,pi)/N,
+and C(1) on the same chains, with trend prints during equilibration,
+so sampling bias is visible instead of silent.
 
 Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     examples/measure_sq.py <artifact> <L> <layers> <filters> \
-    [samples=400] [batch=1024]
+    [samples=400] [batch=1024] [equil=8*L*L] [seed=91]
 """
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
@@ -21,27 +26,48 @@ import jax
 import jax.numpy as jnp
 from flax import serialization
 
+from cgs_vmc_tpu import lattice
 from cgs_vmc_tpu.config import Config
 from cgs_vmc_tpu.evaluate import binned_error
 from cgs_vmc_tpu.models import build_wavefunction
+from cgs_vmc_tpu.ops.heisenberg import HeisenbergHamiltonian
 from cgs_vmc_tpu.ops.observables import SpinStructureFactor, square_positions
 from cgs_vmc_tpu.sampler import metropolis
+
+QMC = {36: -0.678872, 100: -0.671549, 144: -0.670685}
 
 path, L, layers, filters = (sys.argv[1], int(sys.argv[2]),
                             int(sys.argv[3]), int(sys.argv[4]))
 SAMPLES = int(sys.argv[5]) if len(sys.argv) > 5 else 400
 BATCH = int(sys.argv[6]) if len(sys.argv) > 6 else 1024
 n = L * L
+EQUIL = int(sys.argv[7]) if len(sys.argv) > 7 else max(100, 8 * n)
+SEED = int(sys.argv[8]) if len(sys.argv) > 8 else 91
 
 cfg = Config(num_sites=n, size_x=L, size_y=L,
              wavefunction_type='conv_2d', num_conv_layers=layers,
              num_conv_filters=filters, kernel_size=3, symmetrize=True,
-             heisenberg_jx=-1.0, batch_size=BATCH, seed=91)
+             heisenberg_jx=-1.0, batch_size=BATCH, seed=SEED)
 wf = build_wavefunction(cfg)
 params = serialization.from_bytes(
     wf.init(jax.random.key(0)), open(path, 'rb').read())
 obs = SpinStructureFactor([np.pi, np.pi], square_positions(L, L))
+ham = HeisenbergHamiltonian(lattice.square_lattice_bonds(L, L), -1.0, 1.0)
 sq_mean = jax.jit(lambda c: jnp.mean(obs.local_value(None, None, c)))
+
+
+@jax.jit
+def energy_mean(c):
+    chunks = c.reshape(128, -1, n)
+    return jnp.mean(jax.lax.map(lambda x: ham.local_value(wf, params, x),
+                                chunks))
+
+
+@jax.jit
+def c1_mean(c):
+    # nearest-neighbour SzSz along x, torus-averaged
+    sz = 0.5 * c.reshape(-1, L, L)
+    return jnp.mean(jnp.sum(sz * jnp.roll(sz, 1, axis=1), axis=(1, 2)) / n)
 
 
 def sweeps(p, s, k):
@@ -52,25 +78,40 @@ def sweeps(p, s, k):
 sweeps = jax.jit(sweeps, static_argnums=2)
 t0 = time.time()
 smp = metropolis.init_sampler(jax.random.key(cfg.seed), wf, params, n, BATCH)
-equil = max(100, 8 * L * L)
 decorr = max(2, L // 3)
-done, step_sz = 0, max(8, 2500 // (L * L))
-while done < equil:
-    step = min(step_sz, equil - done)
+done, step_sz = 0, max(8, 2500 // n)
+while done < EQUIL:
+    step = min(step_sz, EQUIL - done)
     smp = sweeps(params, smp, step)
     _ = jax.device_get(smp.configs[0, 0])  # true barrier on the relay
     done += step
-    if done % 200 < step_sz or done == equil:
-        print(f'  equilibrated {done}/{equil} sweeps t={time.time()-t0:.0f}s',
-              flush=True)
-vals = []
+    if done % 200 < step_sz or done == EQUIL:
+        e = float(energy_mean(smp.configs))
+        print(f'  equil {done}/{EQUIL}: E/N={e/n:+.6f} '
+              f'3S/N={3*float(sq_mean(smp.configs))/n:.5f} '
+              f'C1={float(c1_mean(smp.configs)):+.5f} '
+              f'acc={float(metropolis.acceptance_rate(smp)):.3f} '
+              f't={time.time()-t0:.0f}s', flush=True)
+vals, evals, c1s = [], [], []
 for i in range(SAMPLES):
     vals.append(float(sq_mean(smp.configs)))
+    c1s.append(float(c1_mean(smp.configs)))
+    if i % 4 == 0:  # energy is the expensive estimator; 1-in-4 suffices
+        evals.append(float(energy_mean(smp.configs)))
     smp = sweeps(params, smp, decorr)
     if (i + 1) % 100 == 0:
         print(f'  {i + 1}/{SAMPLES} samples t={time.time()-t0:.0f}s',
               flush=True)
 s_mean, s_err = binned_error(np.asarray(vals))
-print(f'{path} (L={L}, {layers}x{filters}): S(pi,pi) = {s_mean:.4f} +/- '
-      f'{s_err:.4f}   3S/N = {3*s_mean/n:.5f} +/- {3*s_err/n:.5f}   '
-      f't={time.time()-t0:.0f}s', flush=True)
+e_mean, e_err = binned_error(np.asarray(evals))
+c1_m = float(np.mean(c1s))
+qmc = QMC.get(n)
+eline = f'E/N = {e_mean/n:+.6f} +/- {e_err/n:.6f}'
+if qmc:
+    eline += f' (QMC {qmc}; rel_err {(e_mean/n-qmc)/abs(qmc):.2e})'
+print(f'{path} (L={L}, {layers}x{filters}, batch {BATCH}, equil {EQUIL}, '
+      f'seed {SEED}):')
+print(f'  S(pi,pi) = {s_mean:.4f} +/- {s_err:.4f}   '
+      f'3S/N = {3*s_mean/n:.5f} +/- {3*s_err/n:.5f}')
+print(f'  C1(SzSz nn-x) = {c1_m:+.5f}   {eline}   t={time.time()-t0:.0f}s',
+      flush=True)
