@@ -29,6 +29,7 @@ Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
 import os
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 import sys
+import threading
 import time
 
 import numpy as np
@@ -89,6 +90,18 @@ def sweeps(p, s, k):
 sweeps = jax.jit(sweeps, static_argnums=2)
 t0 = time.time()
 decorr = max(2, L // 3)
+
+
+def _beat(window_s=2700, interval_s=240):
+    # fresh-shape relay compiles can sit silent past the queue watchdog
+    def run():
+        while time.time() - t0 < window_s:
+            time.sleep(interval_s)
+            print(f'  [heartbeat t={time.time()-t0:.0f}s]', flush=True)
+    threading.Thread(target=run, daemon=True).start()
+
+
+_beat()
 
 
 def neel_scrambled(rng, chains):
