@@ -183,8 +183,17 @@ for i in range(start_epoch, EPOCHS):
 save(i + 1)
 
 # Final unbiased MC eval, split-program style (fresh decorrelated reads).
+# Equilibration runs as short 2-sweep chunks with a true per-chunk
+# device barrier: a single 50-sweep execution is 1800 sequential
+# Metropolis steps ~ minutes of device time, and the axon relay kills
+# minutes-long single executions (two UNAVAILABLE worker crashes at
+# exactly this call, logs/transformer_6x6_eval{,2}.log; same fix as the
+# L=12 staggered chunks — block_until_ready is a relay no-op, see
+# DEVELOPMENT.md).
 from cgs_vmc_tpu.evaluate import binned_error
-smp = sweeps(params, smp, 50)
+for _ in range(25):
+    smp = sweeps(params, smp, 2)
+    _ = jax.device_get(smp.configs[0, 0])  # true barrier on the relay
 vals = []
 for k in range(EVAL_SAMPLES):
     vals.append(float(jnp.mean(local_energy(params, smp.configs))))
